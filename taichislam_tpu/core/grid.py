@@ -1,0 +1,242 @@
+"""Block voxel-grid substrate: the TPU-native replacement for Taichi SNodes.
+
+The reference stores maps in dynamically-allocated sparse SNode pointer trees
+(/root/reference/taichi_slam/mapping/dense_tsdf.py:108-118 and
+taichi_octomap.py:63-84). XLA has no dynamic allocation, so this module
+provides the jittable equivalent:
+
+- a **direct-mapped block table** ``table[(s, bi, bj, bk) -> slot]`` over the
+  bounded block-coordinate space (the reference's index space is equally
+  bounded by ``map_scale``), stored as one int32 array; ``-1`` = unallocated;
+- dense **channel arrays** ``(max_blocks + 1, V, V, V, ...)`` — slot
+  ``max_blocks`` is a garbage row that absorbs reads/writes through
+  unallocated or overflowed blocks (mask-free scatter/gather);
+- **allocation as a prefix-sum**: all blocks touched by a frame are marked in
+  the table region of the active submap, new blocks receive consecutive slots
+  via an exclusive cumsum — fully parallel, deterministic, no atomics.
+
+Everything is a pure function over a `GridState` pytree.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taichislam_tpu.core.config import GridSpec
+
+
+class GridState(NamedTuple):
+    """Pytree holding one block voxel grid.
+
+    Attributes:
+        table: int32 (num_submaps * blocks_per_submap,) block coord -> slot.
+        block_coords: int32 (max_blocks + 1, 4) slot -> (s, bi, bj, bk).
+        block_active: bool (max_blocks + 1,).
+        num_blocks: int32 scalar, allocated slot count.
+        alloc_overflow: int32 scalar, dropped allocations (capacity misses).
+        channels: dict name -> (max_blocks + 1, V, V, V[, C]) arrays.
+    """
+
+    table: jax.Array
+    block_coords: jax.Array
+    block_active: jax.Array
+    num_blocks: jax.Array
+    alloc_overflow: jax.Array
+    channels: Dict[str, jax.Array]
+
+
+def make_grid_state(spec: GridSpec, channel_defs: Dict[str, Tuple]) -> GridState:
+    """Create an empty grid.
+
+    ``channel_defs`` maps channel name -> (dtype, extra_shape) where
+    extra_shape is () for scalar voxels or (3,) for e.g. RGB.
+    """
+    V = spec.V
+    nb = spec.max_blocks + 1
+    channels = {
+        name: jnp.zeros((nb, V, V, V) + tuple(extra), dtype=dtype)
+        for name, (dtype, extra) in channel_defs.items()
+    }
+    return GridState(
+        table=jnp.full((spec.table_size,), -1, dtype=jnp.int32),
+        block_coords=jnp.full((nb, 4), -1, dtype=jnp.int32),
+        block_active=jnp.zeros((nb,), dtype=bool),
+        num_blocks=jnp.zeros((), dtype=jnp.int32),
+        alloc_overflow=jnp.zeros((), dtype=jnp.int32),
+        channels=channels,
+    )
+
+
+# ---------------------------------------------------------------------------
+# coordinate <-> block addressing
+# ---------------------------------------------------------------------------
+
+def voxel_to_block(spec: GridSpec, s, ijk):
+    """Signed voxel coords -> (block_lin, intra_lin, in_bounds).
+
+    ``s`` is the submap index (broadcastable to ijk[..., 0]); ``ijk`` is
+    (..., 3) signed voxel indices (centered convention). ``block_lin`` is -1
+    when out of bounds.
+    """
+    V = spec.V
+    origin = jnp.asarray(spec.origin_voxel, jnp.int32)
+    u = ijk - origin
+    dims = jnp.asarray((spec.N, spec.N, spec.Nz), jnp.int32)
+    inb = jnp.all((u >= 0) & (u < dims), axis=-1)
+    inb = inb & (s >= 0) & (s < spec.num_submaps)
+    b = u // V
+    intra = u - b * V
+    blin = (b[..., 0] * spec.bn_xy + b[..., 1]) * spec.bn_z + b[..., 2]
+    blin = blin + s * spec.blocks_per_submap
+    blin = jnp.where(inb, blin, -1)
+    intra_lin = (intra[..., 0] * V + intra[..., 1]) * V + intra[..., 2]
+    return blin, intra_lin, inb
+
+
+def block_lin_to_coords(spec: GridSpec, blin):
+    """Linear block id -> (s, bi, bj, bk) int32 stack (..., 4)."""
+    bps = spec.blocks_per_submap
+    s = blin // bps
+    r = blin - s * bps
+    bi = r // (spec.bn_xy * spec.bn_z)
+    r2 = r - bi * (spec.bn_xy * spec.bn_z)
+    bj = r2 // spec.bn_z
+    bk = r2 - bj * spec.bn_z
+    return jnp.stack([s, bi, bj, bk], axis=-1).astype(jnp.int32)
+
+
+def block_origin_voxel(spec: GridSpec, block_coords):
+    """(..., 4) (s, bi, bj, bk) -> (..., 3) signed voxel index of block corner."""
+    origin = jnp.asarray(spec.origin_voxel, jnp.int32)
+    return block_coords[..., 1:4] * spec.V + origin
+
+
+def lookup_slots(spec: GridSpec, table, blin):
+    """Gather slots for linear block ids; misses map to the garbage slot."""
+    slot = jnp.take(table, jnp.clip(blin, 0, spec.table_size - 1), axis=0)
+    return jnp.where((blin < 0) | (slot < 0), spec.max_blocks, slot)
+
+
+def flat_voxel_index(spec: GridSpec, slot, intra_lin):
+    """Address into a channel viewed as ((max_blocks+1) * V^3, ...)."""
+    return slot * spec.voxels_per_block + intra_lin
+
+
+# ---------------------------------------------------------------------------
+# allocation
+# ---------------------------------------------------------------------------
+
+def allocate_blocks(
+    spec: GridSpec,
+    state: GridState,
+    cand_blin,
+    cand_valid,
+    submap_id,
+) -> GridState:
+    """Allocate storage for every candidate block in one submap's table region.
+
+    ``cand_blin`` are *global* linear block ids (all belonging to submap
+    ``submap_id``); invalid entries are masked by ``cand_valid``. New blocks
+    get consecutive slots assigned by an exclusive prefix sum over the
+    submap's table region — deterministic and atomic-free. Replaces Taichi's
+    on-demand SNode activation.
+    """
+    bps = spec.blocks_per_submap
+    lo = submap_id.astype(jnp.int32) * bps
+
+    # Region-relative candidate ids, scattered into a `touched` bitmap.
+    rel = cand_blin - lo
+    bad = (~cand_valid) | (rel < 0) | (rel >= bps)
+    rel = jnp.where(bad, bps, rel)  # dropped by mode="drop"
+    touched = jnp.zeros((bps,), dtype=bool)
+    touched = touched.at[rel].set(True, mode="drop")
+
+    region = jax.lax.dynamic_slice(state.table, (lo,), (bps,))
+    new_mask = touched & (region < 0)
+    offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1
+    slot = state.num_blocks + offs
+    ok = new_mask & (slot < spec.max_blocks)
+
+    region = jnp.where(ok, slot, region)
+    table = jax.lax.dynamic_update_slice(state.table, region, (lo,))
+
+    # Record coords + active flags for the new slots (scatter, drop misses).
+    tgt = jnp.where(ok, slot, spec.max_blocks + 1)  # OOB -> dropped
+    lin_ids = lo + jnp.arange(bps, dtype=jnp.int32)
+    coords = block_lin_to_coords(spec, lin_ids)
+    block_coords = state.block_coords.at[tgt].set(coords, mode="drop")
+    block_active = state.block_active.at[tgt].set(True, mode="drop")
+
+    n_new = jnp.sum(new_mask.astype(jnp.int32))
+    n_fit = jnp.minimum(n_new, spec.max_blocks - state.num_blocks)
+    n_fit = jnp.maximum(n_fit, 0)
+    return state._replace(
+        table=table,
+        block_coords=block_coords,
+        block_active=block_active,
+        num_blocks=state.num_blocks + n_fit,
+        alloc_overflow=state.alloc_overflow + (n_new - n_fit),
+    )
+
+
+def reset_grid(state: GridState) -> GridState:
+    """Deactivate everything (the analog of ``Broot.deactivate_all()``,
+    dense_tsdf.py:309-310). Channel contents are zeroed."""
+    return GridState(
+        table=jnp.full_like(state.table, -1),
+        block_coords=jnp.full_like(state.block_coords, -1),
+        block_active=jnp.zeros_like(state.block_active),
+        num_blocks=jnp.zeros_like(state.num_blocks),
+        alloc_overflow=jnp.zeros_like(state.alloc_overflow),
+        channels={k: jnp.zeros_like(v) for k, v in state.channels.items()},
+    )
+
+
+# ---------------------------------------------------------------------------
+# channel scatter/gather helpers
+# ---------------------------------------------------------------------------
+
+def channel_flat(channel):
+    """View (B, V, V, V[, C]) as (B*V^3[, C])."""
+    b, v = channel.shape[0], channel.shape[1]
+    extra = channel.shape[4:]
+    return channel.reshape((b * v * v * v,) + extra)
+
+
+def channel_unflat(flat, like):
+    return flat.reshape(like.shape)
+
+
+def scatter_add(channel, flat_idx, values):
+    flat = channel_flat(channel)
+    flat = flat.at[flat_idx].add(values.astype(flat.dtype), mode="drop")
+    return channel_unflat(flat, channel)
+
+
+def scatter_set(channel, flat_idx, values):
+    flat = channel_flat(channel)
+    flat = flat.at[flat_idx].set(values.astype(flat.dtype), mode="drop")
+    return channel_unflat(flat, channel)
+
+
+def scatter_max(channel, flat_idx, values):
+    flat = channel_flat(channel)
+    flat = flat.at[flat_idx].max(values.astype(flat.dtype), mode="drop")
+    return channel_unflat(flat, channel)
+
+
+def gather_channel(channel, flat_idx):
+    flat = channel_flat(channel)
+    return jnp.take(flat, flat_idx, axis=0, mode="fill", fill_value=0)
+
+
+def clear_garbage_row(state: GridState) -> GridState:
+    """Zero the garbage slot so absorbed writes never leak into exports."""
+    channels = {}
+    for k, v in state.channels.items():
+        channels[k] = v.at[-1].set(jnp.zeros_like(v[-1]))
+    return state._replace(channels=channels)

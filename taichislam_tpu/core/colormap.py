@@ -25,8 +25,10 @@ def jet_lut_np(n: int = 1024) -> np.ndarray:
     return lut
 
 
-@functools.lru_cache(maxsize=1)
 def jet_lut(n: int = 1024):
+    # NOTE: deliberately NOT cached as a jnp array — the first call may occur
+    # inside a jit trace, and caching a tracer would leak it. jnp.asarray of
+    # the cached numpy LUT constant-folds under jit.
     return jnp.asarray(jet_lut_np(n))
 
 

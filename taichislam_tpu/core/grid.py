@@ -154,7 +154,17 @@ def allocate_blocks(
     rel = jnp.where(bad, bps, rel)  # dropped by mode="drop"
     touched = jnp.zeros((bps,), dtype=bool)
     touched = touched.at[rel].set(True, mode="drop")
+    return allocate_from_touched(spec, state, touched, lo)
 
+
+def allocate_from_touched(spec: GridSpec, state: GridState, touched,
+                          lo) -> GridState:
+    """Allocate every block marked in ``touched`` (a bitmap over a contiguous
+    table region starting at dynamic offset ``lo``; its static length is the
+    region span). Slot ids come from an exclusive prefix sum — identical on
+    every device when ``touched`` is identical, which is what the multi-chip
+    fusion path relies on (psum the touched bitmaps, then allocate)."""
+    bps = touched.shape[0]
     region = jax.lax.dynamic_slice(state.table, (lo,), (bps,))
     new_mask = touched & (region < 0)
     offs = jnp.cumsum(new_mask.astype(jnp.int32)) - 1

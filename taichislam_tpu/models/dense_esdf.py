@@ -1,0 +1,79 @@
+"""DenseESDF: TSDF map with per-frame incremental ESDF.
+
+The working replacement for the reference's legacy DenseSDF
+(/root/reference/taichi_slam/mapping/dense_esdf.py) — which is unexported,
+cannot instantiate against the current BaseMap (SURVEY.md §2.4), and has a
+known memory issue. This class composes DenseTSDF's fusion pipeline with the
+Jacobi-sweep ESDF of ``ops.esdf``: after every recast the ESDF is updated
+incrementally (warm-started), and ``cvt_ESDF_to_voxels_slice`` /
+``get_voxels_ESDF_slice`` expose the reference's export surface
+(dense_esdf.py:498-509).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from taichislam_tpu.models.dense_tsdf import DenseTSDF
+from taichislam_tpu.ops import esdf as esdf_ops
+
+
+class DenseESDF(DenseTSDF):
+    def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.enable_esdf = enable_esdf
+        self.max_esdf_sweeps = max_esdf_sweeps
+        spec = self.cfg.grid
+        shape = (spec.max_blocks + 1, spec.V, spec.V, spec.V)
+        self.esdf = jnp.zeros(shape, jnp.float32)
+        self.esdf_fixed = jnp.zeros(shape, jnp.int8)
+        self.esdf_observed = jnp.zeros(shape, bool)
+        self.last_esdf_sweeps = 0
+        self.num_export_ESDF_particles = 0
+        self.export_ESDF = np.zeros((0,), np.float32)
+        self.export_ESDF_xyz = np.zeros((0, 3), np.float32)
+
+    # -- ingestion hooks: update ESDF after every TSDF update ----------------
+    def recast_depth_to_map(self, R, T, depthmap, texture):
+        super().recast_depth_to_map(R, T, depthmap, texture)
+        if self.enable_esdf:
+            self.update_esdf()
+
+    def recast_pcl_to_map(self, R, T, xyz_array, rgb_array):
+        super().recast_pcl_to_map(R, T, xyz_array, rgb_array)
+        if self.enable_esdf:
+            self.update_esdf()
+
+    def update_esdf(self):
+        self.esdf, self.esdf_fixed, self.esdf_observed, sweeps = \
+            esdf_ops.esdf_update(self.cfg, self.max_esdf_sweeps, self.state,
+                                 self.esdf, self.esdf_fixed,
+                                 jnp.int32(self.active_submap_id))
+        self.last_esdf_sweeps = int(sweeps)
+
+    # -- exports -------------------------------------------------------------
+    def cvt_ESDF_to_voxels_slice(self, z, dz=0.5):
+        xyz, esdf, color, n = esdf_ops.esdf_slice_export(
+            self.cfg, self.max_disp_particles, self.state, self.esdf,
+            self.esdf_observed, jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np),
+            jnp.int32(self.active_submap_id), jnp.float32(z),
+            jnp.float32(dz))
+        self.export_ESDF_xyz = np.array(xyz)
+        self.export_ESDF = np.array(esdf)
+        self.export_color = np.array(color)
+        self.num_export_ESDF_particles = int(n)
+
+    def get_voxels_ESDF_slice(self, z):
+        self.cvt_ESDF_to_voxels_slice(z)
+        return self.export_ESDF_xyz, self.export_ESDF
+
+    def get_esdf_dict(self):
+        """Debug/test helper: dict voxel-tuple -> esdf over observed voxels."""
+        from taichislam_tpu.ops.exports import voxel_ijk_all
+        ijk = np.asarray(voxel_ijk_all(self.cfg.grid, self.state)).reshape(
+            -1, 3)
+        esdf = np.asarray(self.esdf).reshape(-1)
+        mask = np.asarray(self.esdf_observed).reshape(-1)
+        return {tuple(i): e for i, e, m in zip(ijk, esdf, mask) if m}

@@ -1,0 +1,291 @@
+"""DenseTSDF: voxblox-style TSDF map with the reference's public API.
+
+Thin stateful shell over the functional ops in ``taichislam_tpu.ops``; the
+API (constructor kwargs, recast/export/serialization methods) mirrors
+/root/reference/taichi_slam/mapping/dense_tsdf.py so the node, demos, and
+SubmapMapping drive it unchanged. The npy/zlib submap wire format is
+byte-compatible (same dict schema/dtypes, dense_tsdf.py:456-498).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+from taichislam_tpu.core.config import TSDFConfig
+from taichislam_tpu.models.base_map import BaseMap
+from taichislam_tpu.ops import exports as exports_ops
+from taichislam_tpu.ops import fusion as fusion_ops
+from taichislam_tpu.ops import tsdf as tsdf_ops
+
+
+class DenseTSDF(BaseMap):
+    def __init__(self, map_scale=[10, 10], voxel_scale=0.05,
+                 texture_enabled=False, max_disp_particles=1024 * 1024,
+                 num_voxel_per_blk_axis=16, max_ray_length=10,
+                 min_ray_length=0.3, internal_voxels=10, max_submap_num=1024,
+                 is_global_map=False, disp_ceiling=1.8, disp_floor=-0.3,
+                 recast_step=2, color_same_proj=True, max_blocks=8192,
+                 max_bins=32768, max_fuse_voxels=1 << 20,
+                 storage_dtype="float32"):
+        super().__init__(voxel_scale)
+        self.cfg = TSDFConfig(
+            map_scale=tuple(map_scale), voxel_scale=voxel_scale,
+            texture_enabled=texture_enabled,
+            max_disp_particles=max_disp_particles,
+            num_voxel_per_blk_axis=num_voxel_per_blk_axis,
+            max_ray_length=max_ray_length, min_ray_length=min_ray_length,
+            internal_voxels=internal_voxels, max_submap_num=max_submap_num,
+            is_global_map=is_global_map, disp_ceiling=disp_ceiling,
+            disp_floor=disp_floor, recast_step=recast_step,
+            color_same_proj=color_same_proj, max_blocks=max_blocks,
+            max_bins=max_bins, storage_dtype=storage_dtype)
+        self.map_size_xy = self.cfg.grid.map_size_xy
+        self.map_size_z = self.cfg.grid.map_size_z
+        self.N = self.cfg.grid.N
+        self.Nz = self.cfg.grid.Nz
+        self.block_num_xy = self.cfg.grid.bn_xy
+        self.block_num_z = self.cfg.grid.bn_z
+        self.num_voxel_per_blk_axis = num_voxel_per_blk_axis
+        self.max_disp_particles = max_disp_particles
+        self.enable_texture = texture_enabled
+        self.max_ray_length = max_ray_length
+        self.min_ray_length = min_ray_length
+        self.tsdf_surface_thres = self.cfg.tsdf_surface_thres
+        self.internal_voxels = internal_voxels
+        self.max_submap_num = max_submap_num
+        self.is_global_map = is_global_map
+        self.disp_ceiling = disp_ceiling
+        self.disp_floor = disp_floor
+        self.recast_step = recast_step
+        self.color_same_proj = color_same_proj
+        self.max_fuse_voxels = max_fuse_voxels
+        self.mem_per_voxel = (2 + 2 + 1 + 1) + (6 if texture_enabled else 0)
+
+        self.state = tsdf_ops.make_tsdf_state(self.cfg)
+        # the pose registry is full-size even for the global map — its copy
+        # is the authoritative one used by fuse_submaps (dense_tsdf.py:315)
+        self.initialize_submap_fields(max_submap_num)
+        self.last_stats = {}
+        self.clear_last_TSDF_exporting = False
+
+        # host-side export mirrors (the reference's export_* fields)
+        self.num_TSDF_particles = 0
+        self.export_TSDF_xyz = np.zeros((0, 3), np.float32)
+        self.export_color = np.zeros((0, 3), np.float32)
+        self.export_TSDF = np.zeros((0,), np.float32)
+
+    # ------------------------------------------------------------------
+    # ingestion
+    # ------------------------------------------------------------------
+    def recast_depth_to_map(self, R, T, depthmap, texture):
+        """dense_tsdf.py:162-165."""
+        self.set_pose(R, T)
+        texture_arr = texture if self.enable_texture else np.zeros((1, 1, 3),
+                                                                   np.uint8)
+        kc = self.K_cam_color if self.K_cam_color is not None else \
+            self.K_cam_dep
+        self.state, stats = tsdf_ops.integrate_depth(
+            self.cfg, self.state, jnp.asarray(depthmap),
+            jnp.asarray(texture_arr), jnp.asarray(self.input_R),
+            jnp.asarray(self.input_T), jnp.asarray(self.K_cam_dep),
+            jnp.asarray(kc), jnp.int32(self.active_submap_id))
+        self.last_stats = stats
+
+    def recast_pcl_to_map(self, R, T, xyz_array, rgb_array):
+        """dense_tsdf.py:157-160."""
+        self.set_pose(R, T)
+        rgb = rgb_array if self.enable_texture else np.zeros(
+            (len(xyz_array), 3), np.float32)
+        self.state, stats = tsdf_ops.integrate_pcl(
+            self.cfg, self.state, jnp.asarray(xyz_array, jnp.float32),
+            jnp.asarray(rgb, jnp.float32), jnp.asarray(self.input_R),
+            jnp.asarray(self.input_T), jnp.int32(self.active_submap_id))
+        self.last_stats = stats
+
+    # ------------------------------------------------------------------
+    # exports
+    # ------------------------------------------------------------------
+    def cvt_occupy_to_voxels(self):
+        self.cvt_TSDF_surface_to_voxels()
+
+    def cvt_TSDF_surface_to_voxels(self):
+        xyz, color, tsdf, n = exports_ops.tsdf_surface_export(
+            self.cfg, self.max_disp_particles, False, self.state,
+            jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np),
+            jnp.int32(self.active_submap_id), jnp.int32(0))
+        self.export_TSDF_xyz = np.array(xyz)
+        self.export_color = np.array(color)
+        self.export_TSDF = np.array(tsdf)
+        self.num_TSDF_particles = int(n)
+
+    def cvt_TSDF_surface_to_voxels_to(self, num_particles, max_disp_particles,
+                                      export_TSDF_xyz, export_color):
+        """Append-variant for combined global+local display
+        (dense_tsdf.py:327-329). Host buffers are numpy arrays."""
+        xyz, color, tsdf, n = exports_ops.tsdf_surface_export(
+            self.cfg, max_disp_particles, True, self.state,
+            jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np),
+            jnp.int32(self.active_submap_id), jnp.int32(num_particles))
+        kept = int(n) - num_particles
+        if kept > 0:
+            sl = slice(num_particles, num_particles + kept)
+            export_TSDF_xyz[sl] = np.asarray(xyz)[num_particles:
+                                                  num_particles + kept]
+            export_color[sl] = np.asarray(color)[num_particles:
+                                                 num_particles + kept]
+        return int(n)
+
+    def cvt_TSDF_to_voxels_slice(self, z, dz=0.5, clear_last=True):
+        xyz, tsdf, color, n = exports_ops.tsdf_slice_export(
+            self.cfg, self.max_disp_particles, self.state,
+            jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np),
+            jnp.int32(self.active_submap_id), jnp.float32(z), jnp.float32(dz))
+        self.export_TSDF_xyz = np.array(xyz)
+        self.export_TSDF = np.array(tsdf)
+        self.export_color = np.array(color)
+        self.num_TSDF_particles = int(n)
+
+    def get_voxels_TSDF_surface(self):
+        self.cvt_TSDF_surface_to_voxels()
+        if self.enable_texture:
+            return self.export_TSDF_xyz, self.export_TSDF, self.export_color
+        return self.export_TSDF_xyz, self.export_TSDF, None
+
+    def get_voxels_TSDF_slice(self, z):
+        self.cvt_TSDF_to_voxels_slice(z)
+        return self.export_TSDF_xyz, self.export_TSDF
+
+    def get_voxels_occupy(self):
+        self.cvt_TSDF_surface_to_voxels()
+        return self.export_TSDF_xyz, self.export_color
+
+    # ------------------------------------------------------------------
+    # occupancy predicates (for raycast / topo graph)
+    # ------------------------------------------------------------------
+    def is_occupy_fn(self):
+        """Returns a jit-safe predicate xyz -> bool over the active submap,
+        matching is_occupy: TSDF < tsdf_surface_thres (dense_tsdf.py:152-155).
+        """
+        from taichislam_tpu.ops.raycast import make_tsdf_occupancy_fn
+        return make_tsdf_occupancy_fn(self.cfg, self.state,
+                                      self.active_submap_id)
+
+    # ------------------------------------------------------------------
+    # serialization (dense_tsdf.py:412-515)
+    # ------------------------------------------------------------------
+    def count_active(self):
+        return int(exports_ops.count_active(self.cfg, self.state,
+                                            jnp.int32(self.active_submap_id)))
+
+    def to_numpy(self):
+        num = self.count_active()
+        cap = exports_ops.pow2_capacity(max(num, 1))
+        idx, tsdf, w, occ, col, kept, _ = exports_ops.sparse_gather(
+            self.cfg, cap, self.state, jnp.int32(self.active_submap_id))
+        k = int(kept)
+        col_np = np.asarray(col)[:k] if self.enable_texture else np.array([])
+        return (np.asarray(idx)[:k], np.asarray(tsdf)[:k],
+                np.asarray(w)[:k], np.asarray(occ)[:k], col_np)
+
+    def export_submap(self):
+        s = time.time()
+        indices, tsdf, w_tsdf, occupy, color = self.to_numpy()
+        obj = {
+            "indices": indices.astype(np.int16),
+            "TSDF": tsdf.astype(np.float16),
+            "W_TSDF": w_tsdf.astype(np.float16),
+            "color": color.astype(np.float16) if color.size else np.array([]),
+            "occupy": occupy.astype(np.int8),
+            "map_scale": [self.map_size_xy, self.map_size_z],
+            "voxel_scale": self.voxel_scale,
+            "texture_enabled": self.enable_texture,
+            "num_voxel_per_blk_axis": self.num_voxel_per_blk_axis,
+        }
+        print(f"Export submap {self.active_submap_id} to numpy, voxels "
+              f"{len(tsdf)/1024:.1f}k, time: {1000*(time.time()-s):.1f}ms")
+        return obj
+
+    def load_numpy(self, submap_id, indices, tsdf, w_tsdf, occ, color):
+        n = len(tsdf)
+        cap = exports_ops.pow2_capacity(max(n, 1))
+
+        def pad(a, shape_tail=()):
+            a = np.asarray(a, np.float32)
+            out = np.zeros((cap,) + shape_tail, np.float32)
+            out[:n] = a.reshape((n,) + shape_tail) if n else out[:n]
+            return out
+
+        idx_p = np.zeros((cap, 3), np.int32)
+        idx_p[:n] = np.asarray(indices, np.int32)
+        col = pad(color, (3,)) if (self.enable_texture and
+                                   np.asarray(color).size) else \
+            np.zeros((cap, 3), np.float32)
+        self.state = exports_ops.sparse_scatter(
+            self.cfg, self.state, jnp.int32(submap_id), jnp.asarray(idx_p),
+            jnp.asarray(pad(tsdf)), jnp.asarray(pad(w_tsdf)),
+            jnp.asarray(pad(occ)), jnp.asarray(col), jnp.int32(n))
+
+    def saveMap(self, filename):
+        np.save(filename, self.export_submap())
+
+    @staticmethod
+    def loadMap(filename):
+        obj = np.load(filename, allow_pickle=True).item()
+        mapping = DenseTSDF(
+            map_scale=obj["map_scale"], voxel_scale=obj["voxel_scale"],
+            texture_enabled=obj["texture_enabled"],
+            num_voxel_per_blk_axis=obj["num_voxel_per_blk_axis"],
+            is_global_map=True)
+        mapping.load_numpy(0, obj["indices"], obj["TSDF"], obj["W_TSDF"],
+                           obj["occupy"], obj["color"])
+        print(f"[SubmapMapping] Loaded {len(obj['TSDF'])} voxels from "
+              f"{filename}")
+        return mapping
+
+    def input_remote_submap(self, submap):
+        """dense_tsdf.py:500-515: remote submaps occupy descending slots."""
+        self.remote_submap_num += 1
+        idx = self.max_submap_num - self.remote_submap_num
+        color = submap.get("color", np.array([]))
+        self.load_numpy(idx, submap["indices"], submap["TSDF"],
+                        submap["W_TSDF"], submap["occupy"], color)
+        R, T = submap["pose"]
+        self.set_base_pose_submap(idx, R, T)
+        return idx
+
+    # ------------------------------------------------------------------
+    # submap fusion + reset
+    # ------------------------------------------------------------------
+    def fuse_submaps(self, submaps: "DenseTSDF"):
+        """Fuse all of ``submaps``'s submaps into this (global) map
+        (dense_tsdf.py:312-318). Resets first like the reference."""
+        self.reset()
+        t = time.time()
+        # NOTE: like the reference (dense_tsdf.py:315-317), the base poses
+        # used for fusion are THIS (global) map's registry, which is the one
+        # PGO updates (submap_mapping.py:119).
+        self.state, stats = fusion_ops.fuse_submaps(
+            submaps.cfg, self.cfg, submaps.max_fuse_voxels, self.state,
+            submaps.state, jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np))
+        self.last_stats = stats
+        print(f"[DenseTSDF] Fuse submaps {(time.time()-t)*1000:.1f}ms, "
+              f"active local: {submaps.active_submap_id} "
+              f"remote: {submaps.remote_submap_num}")
+
+    def reset(self):
+        from taichislam_tpu.core.grid import reset_grid
+        self.state = reset_grid(self.state)
+
+    # ------------------------------------------------------------------
+    # fixtures
+    # ------------------------------------------------------------------
+    def init_sphere(self):
+        self.state = tsdf_ops.init_sphere(self.cfg, self.state,
+                                          self.active_submap_id)

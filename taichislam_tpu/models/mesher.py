@@ -1,0 +1,46 @@
+"""MarchingCubeMesher: host-facing mesher with the reference API
+(/root/reference/taichi_slam/mapping/marching_cube_mesher.py:13-27, 189-193):
+``MarchingCubeMesher(mapping, max_triangles, tsdf_surface_thres)``,
+``generate_mesh(step)``, ``vertice_num()``, and ``mesh_vertices`` /
+``mesh_colors`` / ``mesh_normals`` flat arrays of ``max_triangles * 3``.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from taichislam_tpu.ops import marching_cubes as mc_ops
+
+
+class MarchingCubeMesher:
+    def __init__(self, mapping, max_triangles=1000000,
+                 tsdf_surface_thres=0.1):
+        self.mapping = mapping
+        self.max_triangles = max_triangles
+        self.tsdf_surface_thres = tsdf_surface_thres
+        self.enable_texture = mapping.enable_texture
+        self.num_facelets = 0
+        n = max_triangles * 3
+        self.mesh_vertices = np.full((n, 3), -1000000.0, np.float32)
+        self.mesh_colors = np.full((n, 3), 0.5, np.float32)
+        self.mesh_normals = np.zeros((n, 3), np.float32)
+        self.mesh_indices = None
+
+    def generate_mesh(self, step=1):
+        out = mc_ops.extract_mesh(
+            self.mapping.cfg, self.max_triangles, int(step),
+            self.mapping.state, jnp.int32(self.mapping.active_submap_id),
+            jnp.float32(self.tsdf_surface_thres))
+        self.num_facelets = int(out["num_triangles"])
+        self.total_triangles = int(out["total_triangles"])
+        self.mesh_vertices = np.asarray(out["vertices"])
+        self.mesh_normals = np.asarray(out["normals"])
+        self.mesh_colors = np.asarray(out["colors"])
+        if self.total_triangles > self.max_triangles:
+            print(f"[Mesher] triangle cap hit: {self.total_triangles} > "
+                  f"{self.max_triangles}")
+        print("Total triangles", self.num_facelets)
+
+    def vertice_num(self):
+        return self.num_facelets * 3

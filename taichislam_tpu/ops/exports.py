@@ -1,0 +1,225 @@
+"""Export / compaction ops: surface voxels, slices, sparse serialization.
+
+Rebuilds the reference's atomic-append export kernels
+(/root/reference/taichi_slam/mapping/dense_tsdf.py:339-404, 412-454) as
+masked prefix-sum compactions (deterministic, linear-index order).
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from taichislam_tpu.core.config import GridSpec, TSDFConfig
+from taichislam_tpu.core.colormap import color_from_colormap
+from taichislam_tpu.core.compaction import compact_mask
+from taichislam_tpu.core.grid import GridState, block_origin_voxel
+
+
+@functools.lru_cache(maxsize=8)
+def _intra_offsets_np(V: int):
+    r = np.arange(V)
+    ii, jj, kk = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([ii, jj, kk], -1).reshape(-1, 3).astype(np.int32)
+
+
+def _intra_offsets(V: int):
+    # numpy cached, converted per call — caching a jnp array here would leak
+    # a tracer when first materialized inside a jit trace
+    return jnp.asarray(_intra_offsets_np(V))
+
+
+def voxel_ijk_all(spec: GridSpec, state: GridState):
+    """Signed voxel index of every (slot, voxel): (nb, V^3, 3)."""
+    base = block_origin_voxel(spec, state.block_coords)  # (nb, 3)
+    return base[:, None, :] + _intra_offsets(spec.V)[None, :, :]
+
+
+def voxel_xyz_all(spec: GridSpec, state: GridState, base_R, base_T,
+                  is_global: bool):
+    """World position of every voxel center.
+
+    Mirrors ``submap_i_j_k_to_xyz`` (mapping_common.py:229-232): rotate the
+    submap-local center through the per-submap base pose; the global map uses
+    identity (``i_j_k_to_xyz``, dense_tsdf.py:352-355).
+    """
+    ijk = voxel_ijk_all(spec, state)                      # (nb, V^3, 3)
+    local = ijk.astype(jnp.float32) * spec.voxel_scale
+    if is_global:
+        return local
+    s = jnp.clip(state.block_coords[:, 0], 0, base_R.shape[0] - 1)
+    R = jnp.take(base_R, s, axis=0)                       # (nb, 3, 3)
+    T = jnp.take(base_T, s, axis=0)                       # (nb, 3)
+    return jnp.einsum("bij,bvj->bvi", R, local) + T[:, None, :]
+
+
+def _active_voxel_mask(spec: GridSpec, state: GridState, active_submap,
+                       require_submap=True):
+    blk = state.block_active & (state.block_coords[:, 0] == active_submap) \
+        if require_submap else state.block_active
+    blk = blk.at[-1].set(False)  # garbage row
+    return jnp.broadcast_to(blk[:, None], (blk.shape[0], spec.voxels_per_block))
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def tsdf_surface_export(cfg: TSDFConfig, capacity: int, add_mode: bool,
+                        state: GridState, base_R, base_T, active_submap,
+                        start_index):
+    """cvt_TSDF_surface_to_voxels (dense_tsdf.py:339-365).
+
+    Returns (xyz (capacity,3), color (capacity,3), tsdf (capacity,), count).
+    ``add_mode``/``start_index`` implement the ``*_to`` appending variant
+    (dense_tsdf.py:327-329) used for combined global+local display.
+    """
+    spec = cfg.grid
+    ch = state.channels
+    nb = spec.max_blocks + 1
+    obs = ch["TSDF_observed"].reshape(nb, -1) == 1
+    tsdf = ch["TSDF"].reshape(nb, -1).astype(jnp.float32)
+    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
+    mask = _active_voxel_mask(spec, state, active_submap)
+    mask &= obs & (jnp.abs(tsdf) < cfg.tsdf_surface_thres)
+    mask &= (xyz[..., 2] <= cfg.disp_ceiling) & (xyz[..., 2] >= cfg.disp_floor)
+
+    flat_mask = mask.reshape(-1)
+    pos, kept, total = compact_mask(flat_mask, capacity)
+    pos = jnp.where(add_mode, jnp.where(pos < capacity, pos + start_index,
+                                        capacity), pos)
+    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
+    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
+    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32)
+
+    xyz_f = xyz.reshape(-1, 3)
+    if cfg.texture_enabled:
+        col_f = ch["color"].reshape(-1, 3).astype(jnp.float32)
+    else:
+        col_f = color_from_colormap(xyz_f[:, 2], cfg.disp_floor,
+                                    cfg.disp_ceiling)
+    out_xyz = out_xyz.at[pos].set(xyz_f, mode="drop")
+    out_col = out_col.at[pos].set(col_f, mode="drop")
+    out_tsdf = out_tsdf.at[pos].set(tsdf.reshape(-1), mode="drop")
+    count = jnp.where(add_mode, start_index + kept, kept)
+    return out_xyz[:capacity], out_col[:capacity], out_tsdf[:capacity], count
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def tsdf_slice_export(cfg: TSDFConfig, capacity: int, state: GridState,
+                      base_R, base_T, active_submap, z, dz):
+    """cvt_TSDF_to_voxels_slice (dense_tsdf.py:367-389): voxels whose signed
+    z-index k satisfies ``_index - dz < k < _index + dz`` with
+    ``_index = int(z/voxel)``; colors = jet(TSDF in [-0.5, 0.5])."""
+    spec = cfg.grid
+    ch = state.channels
+    nb = spec.max_blocks + 1
+    obs = ch["TSDF_observed"].reshape(nb, -1) > 0
+    tsdf = ch["TSDF"].reshape(nb, -1).astype(jnp.float32)
+    kidx = voxel_ijk_all(spec, state)[..., 2].astype(jnp.float32)
+    zindex = jnp.trunc(z / cfg.voxel_scale)
+    mask = _active_voxel_mask(spec, state, active_submap) & obs
+    mask &= (kidx > zindex - dz) & (kidx < zindex + dz)
+
+    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
+    pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
+    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
+    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32)
+    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
+    out_xyz = out_xyz.at[pos].set(xyz.reshape(-1, 3), mode="drop")
+    out_tsdf = out_tsdf.at[pos].set(tsdf.reshape(-1), mode="drop")
+    out_col = out_col.at[pos].set(
+        color_from_colormap(tsdf.reshape(-1), -0.5, 0.5), mode="drop")
+    return out_xyz[:capacity], out_tsdf[:capacity], out_col[:capacity], kept
+
+
+@partial(jax.jit, static_argnums=(0,))
+def count_active(cfg: TSDFConfig, state: GridState, active_submap):
+    """count_active (dense_tsdf.py:412-423): observed voxels in the active
+    submap."""
+    spec = cfg.grid
+    nb = spec.max_blocks + 1
+    obs = state.channels["TSDF_observed"].reshape(nb, -1) > 0
+    mask = _active_voxel_mask(spec, state, active_submap) & obs
+    return jnp.sum(mask.astype(jnp.int32))
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def sparse_gather(cfg: TSDFConfig, capacity: int, state: GridState,
+                  active_submap):
+    """to_numpy (dense_tsdf.py:425-440): gather the active submap's observed
+    voxels as (indices, TSDF, W_TSDF, occupy, color) with static capacity.
+    The host slices the result to the true count."""
+    spec = cfg.grid
+    ch = state.channels
+    nb = spec.max_blocks + 1
+    obs = ch["TSDF_observed"].reshape(nb, -1) > 0
+    mask = _active_voxel_mask(spec, state, active_submap) & obs
+    ijk = voxel_ijk_all(spec, state).reshape(-1, 3)
+
+    pos, kept, total = compact_mask(mask.reshape(-1), capacity)
+    out_idx = jnp.zeros((capacity + 1, 3), jnp.int32).at[pos].set(
+        ijk, mode="drop")
+    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
+        ch["TSDF"].reshape(-1).astype(jnp.float32), mode="drop")
+    out_w = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
+        ch["W_TSDF"].reshape(-1).astype(jnp.float32), mode="drop")
+    out_occ = jnp.zeros((capacity + 1,), jnp.int8).at[pos].set(
+        ch["occupy"].reshape(-1), mode="drop")
+    if cfg.texture_enabled:
+        out_col = jnp.zeros((capacity + 1, 3), jnp.float32).at[pos].set(
+            ch["color"].reshape(-1, 3).astype(jnp.float32), mode="drop")
+    else:
+        out_col = jnp.zeros((0, 3), jnp.float32)
+    return (out_idx[:capacity], out_tsdf[:capacity], out_w[:capacity],
+            out_occ[:capacity], out_col[:capacity] if cfg.texture_enabled
+            else out_col, kept, total)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def sparse_scatter(cfg: TSDFConfig, state: GridState, submap_id, indices,
+                   tsdf, w_tsdf, occ, color, n_valid):
+    """load_numpy (dense_tsdf.py:442-454): scatter (indices, TSDF, W_TSDF,
+    occupy[, color]) into submap ``submap_id`` and mark observed. ``indices``
+    are signed voxel coords (n, 3), padded to a static size; ``n_valid`` is
+    the live prefix length."""
+    from taichislam_tpu.core.grid import (
+        allocate_blocks, flat_voxel_index, lookup_slots, voxel_to_block)
+    spec = cfg.grid
+    n = indices.shape[0]
+    valid = jnp.arange(n) < n_valid
+    s = jnp.broadcast_to(submap_id, (n,))
+    blin, intra, inb = voxel_to_block(spec, s, indices.astype(jnp.int32))
+    ok = valid & inb
+    state = allocate_blocks(spec, state, blin, ok, submap_id)
+    slots = lookup_slots(spec, state.table, blin)
+    flat = flat_voxel_index(spec, slots, intra)
+    nvox = (spec.max_blocks + 1) * spec.voxels_per_block
+    flat = jnp.where(ok, flat, nvox - 1)
+
+    ch = dict(state.channels)
+    ch["TSDF"] = ch["TSDF"].reshape(nvox).at[flat].set(
+        tsdf.astype(cfg.dtype)).reshape(ch["TSDF"].shape)
+    ch["W_TSDF"] = ch["W_TSDF"].reshape(nvox).at[flat].set(
+        w_tsdf.astype(cfg.dtype)).reshape(ch["W_TSDF"].shape)
+    ch["occupy"] = ch["occupy"].reshape(nvox).at[flat].set(
+        occ.astype(jnp.int8)).reshape(ch["occupy"].shape)
+    ch["TSDF_observed"] = ch["TSDF_observed"].reshape(nvox).at[flat].set(
+        jnp.where(ok, 1, 0).astype(jnp.int8)).reshape(
+        ch["TSDF_observed"].shape)
+    if cfg.texture_enabled:
+        ch["color"] = ch["color"].reshape(nvox, 3).at[flat].set(
+            color.astype(cfg.dtype)).reshape(ch["color"].shape)
+    for k in ch:
+        ch[k] = ch[k].at[-1].set(jnp.zeros_like(ch[k][-1]))
+    return state._replace(channels=ch)
+
+
+def pow2_capacity(n: int, lo: int = 1024) -> int:
+    """Bucket a dynamic count into a power-of-two static capacity to bound
+    the number of jit specializations of the gather ops."""
+    c = lo
+    while c < n:
+        c *= 2
+    return c

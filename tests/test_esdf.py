@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+
+from taichislam_tpu.models.dense_esdf import DenseESDF
+
+
+def bellman_esdf(tsdf_dict, voxel, max_ray, gamma):
+    """Brute-force one-sided signed chamfer fixed point (Bellman-Ford over
+    the 26-neighborhood): fixed-band voxels (|TSDF| < γ) hold their TSDF;
+    positive-side voxels take min over fixed/positive-side neighbors of
+    (esdf + dist); negative-side the mirror. This is the well-defined voxblox
+    semantics the reference's raise/lower queues approximate
+    (dense_esdf.py:255-299 — the queues let fresh ±max seeds poison the
+    other side and never iterate to convergence, which is why the
+    reference's ESDF was never stabilized)."""
+    dirs = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+            for k in (-1, 0, 1) if (i, j, k) != (0, 0, 0)]
+    dist = {d: np.linalg.norm(d) * voxel for d in dirs}
+    esdf = {}
+    fixed = {}
+    for v, t in tsdf_dict.items():
+        f = abs(t) < gamma
+        fixed[v] = f
+        esdf[v] = t if f else np.sign(t) * max_ray if t != 0 else max_ray
+    pos_side = {v for v, t in tsdf_dict.items()
+                if not fixed[v] and t >= 0}
+    changed = True
+    while changed:
+        changed = False
+        for v in esdf:
+            if fixed[v]:
+                continue
+            for d in dirs:
+                n = (v[0] + d[0], v[1] + d[1], v[2] + d[2])
+                if n not in esdf:
+                    continue
+                if v in pos_side:
+                    if not (fixed[n] or tsdf_dict[n] >= gamma):
+                        continue
+                    cand = esdf[n] + dist[d]
+                    if cand < esdf[v] - 1e-6:
+                        esdf[v] = cand
+                        changed = True
+                else:
+                    if not (fixed[n] or tsdf_dict[n] <= -gamma):
+                        continue
+                    cand = esdf[n] - dist[d]
+                    if cand > esdf[v] + 1e-6:
+                        esdf[v] = cand
+                        changed = True
+    return esdf
+
+
+@pytest.fixture(scope="module")
+def esdf_map():
+    m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_ray_length=2.0,
+                  min_ray_length=0.3, max_blocks=512, max_bins=8192,
+                  max_submap_num=8, max_esdf_sweeps=128)
+    m.set_dep_camera_intrinsic(
+        np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
+    jj, ii = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    depth = (1000 + 4.0 * ii + 2.0 * jj).astype(np.uint16)
+    m.recast_depth_to_map(np.eye(3, dtype=np.float32),
+                          np.zeros(3, np.float32), depth, None)
+    return m
+
+
+def test_esdf_reaches_brushfire_fixed_point(esdf_map):
+    m = esdf_map
+    assert m.last_esdf_sweeps > 0
+    got = m.get_esdf_dict()
+    assert len(got) > 100
+
+    # reconstruct the TSDF dict and compute the brute-force fixed point
+    idx, tsdf, w, occ, col = m.to_numpy()
+    tsdf_dict = {tuple(i): float(t) for i, t in zip(idx, tsdf)}
+    want = bellman_esdf(tsdf_dict, 0.1, 2.0, 0.1)
+
+    common = set(got) & set(want)
+    assert len(common) == len(want)
+    err = max(abs(got[k] - want[k]) for k in common)
+    assert err < 1e-3, f"max ESDF err {err}"
+
+
+def test_esdf_fixed_band_equals_tsdf(esdf_map):
+    m = esdf_map
+    got = m.get_esdf_dict()
+    idx, tsdf, _, _, _ = m.to_numpy()
+    for i, t in zip(idx, tsdf):
+        if abs(t) < 0.1:
+            assert abs(got[tuple(i)] - t) < 1e-5
+
+
+def test_esdf_incremental_warm_start(esdf_map):
+    m = esdf_map
+    # integrating the same frame again must converge quickly (warm start)
+    jj, ii = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    depth = (1000 + 4.0 * ii + 2.0 * jj).astype(np.uint16)
+    m.recast_depth_to_map(np.eye(3, dtype=np.float32),
+                          np.zeros(3, np.float32), depth, None)
+    assert m.last_esdf_sweeps <= 4, m.last_esdf_sweeps
+
+    idx, tsdf, w, occ, col = m.to_numpy()
+    tsdf_dict = {tuple(i): float(t) for i, t in zip(idx, tsdf)}
+    want = bellman_esdf(tsdf_dict, 0.1, 2.0, 0.1)
+    got = m.get_esdf_dict()
+    err = max(abs(got[k] - want[k]) for k in want)
+    assert err < 1e-3, f"max ESDF err after warm start {err}"
+
+
+def test_esdf_slice_export(esdf_map):
+    m = esdf_map
+    xyz, esdf = m.get_voxels_ESDF_slice(0.5)
+    n = m.num_export_ESDF_particles
+    assert n > 0
+    assert np.all(np.abs(xyz[:n, 2] - 0.5) < 0.1 + 1e-6)

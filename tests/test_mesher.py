@@ -1,0 +1,83 @@
+import numpy as np
+import pytest
+
+from taichislam_tpu.models.dense_tsdf import DenseTSDF
+from taichislam_tpu.models.mesher import MarchingCubeMesher
+from taichislam_tpu.ops.marching_cubes import tet_tri_tables
+
+
+def test_tet_tables_shape_and_symmetry():
+    ntri, edges = tet_tri_tables()
+    ntri = np.asarray(ntri)
+    edges = np.asarray(edges)
+    assert ntri.shape == (6, 16)
+    # empty cases emit nothing; single-corner cases emit 1; two-corner 2
+    for t in range(6):
+        assert ntri[t, 0] == 0 and ntri[t, 15] == 0
+        for case in range(1, 15):
+            pop = bin(case).count("1")
+            assert ntri[t, case] == (1 if pop in (1, 3) else 2)
+    # every used edge entry references valid cube corners
+    used = edges[edges >= 0]
+    assert used.min() >= 0 and used.max() <= 7
+
+
+@pytest.fixture(scope="module")
+def sphere_mesh():
+    m = DenseTSDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_blocks=256,
+                  max_submap_num=4, texture_enabled=True)
+    m.init_sphere()
+    mesher = MarchingCubeMesher(m, max_triangles=20000)
+    mesher.generate_mesh(1)
+    return m, mesher
+
+
+def test_sphere_mesh_geometry(sphere_mesh):
+    m, mesher = sphere_mesh
+    n = mesher.num_facelets
+    assert n > 50
+    verts = mesher.mesh_vertices[:n * 3]
+    radius = m.voxel_scale * 3
+    dist = np.linalg.norm(verts, axis=-1)
+    # all vertices lie near the analytic sphere surface
+    assert np.max(np.abs(dist - radius)) < m.voxel_scale * 1.1, (
+        np.max(np.abs(dist - radius)))
+
+
+def test_sphere_mesh_normals_outward(sphere_mesh):
+    m, mesher = sphere_mesh
+    n = mesher.num_facelets
+    verts = mesher.mesh_vertices[:n * 3]
+    norms = mesher.mesh_normals[:n * 3]
+    radial = verts / np.maximum(np.linalg.norm(verts, axis=-1, keepdims=True),
+                                1e-9)
+    cos = np.sum(norms * radial, axis=-1)
+    # central-difference normals should align with outward radial direction
+    assert np.mean(cos > 0.7) > 0.95, np.mean(cos > 0.7)
+
+
+def test_sphere_mesh_winding_consistent(sphere_mesh):
+    m, mesher = sphere_mesh
+    n = mesher.num_facelets
+    v = mesher.mesh_vertices[:n * 3].reshape(n, 3, 3)
+    geom_n = np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0])
+    norm = np.linalg.norm(geom_n, axis=-1)
+    ok = norm > 1e-9
+    geom_n = geom_n[ok] / norm[ok][:, None]
+    center = v[ok].mean(axis=1)
+    radial = center / np.maximum(np.linalg.norm(center, axis=-1,
+                                                keepdims=True), 1e-9)
+    cos = np.sum(geom_n * radial, axis=-1)
+    # winding (cross product) agrees with outward direction
+    assert np.mean(cos > 0) > 0.97, np.mean(cos > 0)
+
+
+def test_mesh_cap():
+    m = DenseTSDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_blocks=256, max_submap_num=4)
+    m.init_sphere()
+    mesher = MarchingCubeMesher(m, max_triangles=10)
+    mesher.generate_mesh(1)
+    assert mesher.num_facelets == 10
+    assert mesher.total_triangles > 10

@@ -1,0 +1,119 @@
+import numpy as np
+import pytest
+
+from taichislam_tpu.models.dense_tsdf import DenseTSDF
+from taichislam_tpu.models.submap_mapping import SubmapMapping
+from taichislam_tpu.utils.comm import (
+    CHANNEL_SUBMAP,
+    CHANNEL_TRAJ,
+    LoopbackTransport,
+    SLAMComm,
+)
+
+K_DEP = np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32)
+
+SUB_OPTS = dict(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                num_voxel_per_blk_axis=8, max_ray_length=2.0,
+                min_ray_length=0.3, max_blocks=512, max_bins=8192,
+                max_disp_particles=65536, max_submap_num=16,
+                max_fuse_voxels=1 << 15)
+GLOB_OPTS = dict(map_scale=[12.8, 6.4], voxel_scale=0.1,
+                 num_voxel_per_blk_axis=8, max_blocks=1024,
+                 max_disp_particles=65536, is_global_map=True,
+                 max_fuse_voxels=1 << 15)
+
+
+def depth_frame(t=0):
+    jj, ii = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
+    return (1000 + 20 * t + 4.0 * ii + 2.0 * jj).astype(np.uint16)
+
+
+def make_sm(keyframe_step=2):
+    sm = SubmapMapping(DenseTSDF, keyframe_step=keyframe_step,
+                       sub_opts=SUB_OPTS, global_opts=GLOB_OPTS)
+    sm.set_dep_camera_intrinsic(K_DEP)
+    return sm
+
+
+@pytest.fixture(scope="module")
+def driven_sm():
+    sm = make_sm()
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    for t in range(5):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        sm.recast_depth_to_map_by_frame(t, True, pose, ext, depth_frame(t),
+                                        None)
+    return sm
+
+
+def test_submap_creation_policy(driven_sm):
+    sm = driven_sm
+    # keyframe_step=2 -> new submap on frames 0, 2, 4
+    assert len(sm.submaps) == 3
+    assert sm.submap_collection.active_submap_id == 2
+
+
+def test_global_fusion_populated(driven_sm):
+    sm = driven_sm
+    assert sm.global_map.count_active() > 0
+    sm.set_exporting_global()
+    sm.cvt_TSDF_surface_to_voxels()
+    assert sm.num_TSDF_particles > 0
+
+
+def test_pgo_pose_update_moves_global(driven_sm):
+    sm = driven_sm
+    before = int(sm.global_map.count_active())
+    # shift all keyframe poses; global map is re-fused on next keyframe
+    shifted = {fid: (np.eye(3, dtype=np.float32),
+                     np.array([1.0, 0, 0], np.float32))
+               for fid in sm.submaps}
+    sm.set_frame_poses(shifted)
+    sm.local_to_global()
+    after = int(sm.global_map.count_active())
+    assert after > 0
+    # base poses actually moved
+    for fid, sid in sm.submaps.items():
+        np.testing.assert_allclose(sm.global_map.submaps_base_T_np[sid],
+                                   [1.0, 0, 0])
+    assert abs(after - before) < max(before, after)  # sanity
+
+
+def test_convert_by_pgo_chains_ego_motion():
+    sm = make_sm(keyframe_step=100)
+    eye = np.eye(3, dtype=np.float32)
+    R0, T0 = eye, np.zeros(3, np.float32)
+    sm.ego_motion_poses[0] = (R0, T0)
+    sm.pgo_poses[0] = (eye, np.array([5.0, 0, 0], np.float32))
+    sm.last_frame_id = 0
+    R, T = sm.convert_by_pgo(1, eye, np.array([0.5, 0, 0], np.float32))
+    np.testing.assert_allclose(T, [5.5, 0, 0], atol=1e-6)
+
+
+def test_two_drone_submap_exchange_roundtrip():
+    hub = LoopbackTransport.Hub()
+    comm_a = SLAMComm(0, transport=LoopbackTransport(hub))
+    comm_b = SLAMComm(1, transport=LoopbackTransport(hub))
+
+    sm_a = make_sm()
+    sm_b = make_sm()
+    sm_a.map_send_handle = lambda buf: comm_a.publishBuffer(buf,
+                                                            CHANNEL_SUBMAP)
+    sm_a.traj_send_handle = lambda buf: comm_a.publishBuffer(buf,
+                                                             CHANNEL_TRAJ)
+    comm_b.on_submap = sm_b.input_remote_submap
+    comm_b.on_traj = sm_b.input_remote_traj
+
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    for t in range(3):  # keyframe_step=2 -> submap sent when frame 2 arrives
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        sm_a.recast_depth_to_map_by_frame(t, True, pose, ext, depth_frame(t),
+                                          None)
+    comm_b.handle()
+    assert sm_b.submap_collection.remote_submap_num == 1
+    # remote submap landed in the top slot and was fused globally
+    top = sm_b.submap_collection.max_submap_num - 1
+    assert sm_b.global_map.count_active() > 0
+    assert sm_b.submaps  # frame id registered

@@ -7,6 +7,12 @@ The north-star target (BASELINE.json) is >= 200 fps fusing 640x480 depth
 frames into a 0.05 m TSDF on a single TPU chip; ``vs_baseline`` is measured
 fps / 200. The reference publishes no numbers (BASELINE.md), so the target
 is the baseline.
+
+Measurement notes: on the axon relay, ``block_until_ready`` does not
+actually wait for device completion, so all N frames are chained through one
+``lax.scan`` inside a single jit and the timing is closed by a scalar
+readback; the tiny-readback RPC latency is measured separately and
+subtracted.
 """
 
 import json
@@ -29,43 +35,61 @@ def main():
     state = tsdf_ops.make_tsdf_state(cfg)
 
     h, w = 480, 640
-    fx = fy = 384.0
-    cx, cy = w / 2.0, h / 2.0
-    K = jnp.asarray([fx, 0, cx, 0, fy, cy, 0, 0, 1], jnp.float32)
+    K = jnp.asarray([384.0, 0, 320.0, 0, 384.0, 240.0, 0, 0, 1], jnp.float32)
 
     rng = np.random.default_rng(0)
     jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    frames = []
-    n_frames = 20
+    n_frames = 50
+    frames = np.empty((n_frames, h, w), np.uint16)
+    Rs = np.empty((n_frames, 3, 3), np.float32)
+    Ts = np.empty((n_frames, 3), np.float32)
     for t in range(n_frames):
         base = 1500 + 40.0 * np.sin(0.3 * t)
         depth = base + 0.6 * ii + 0.3 * jj + rng.normal(0, 5, (h, w))
-        frames.append(jnp.asarray(np.clip(depth, 400, 2900).astype(np.uint16)))
+        frames[t] = np.clip(depth, 400, 2900).astype(np.uint16)
+        th = 0.02 * t
+        Rs[t] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
+                          [-np.sin(th), 0, np.cos(th)]], np.float32)
+        Ts[t] = [0.05 * t, 0.0, 0.0]
+    frames_j = jnp.asarray(frames)
+    Rs_j, Ts_j = jnp.asarray(Rs), jnp.asarray(Ts)
     texture = jnp.zeros((1, 1, 3), jnp.uint8)
 
-    poses = []
-    for t in range(n_frames):
-        th = 0.02 * t
-        R = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
-                      [-np.sin(th), 0, np.cos(th)]], np.float32)
-        T = np.array([0.05 * t, 0.0, 0.0], np.float32)
-        poses.append((jnp.asarray(R), jnp.asarray(T)))
-
-    def step(state, depth, R, T):
+    def one_frame(state, inputs):
+        depth, R, T = inputs
         state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
                                             K, K, jnp.int32(0))
-        return state
+        return state, ()
+
+    @jax.jit
+    def run_all(state, frames, Rs, Ts):
+        state, _ = jax.lax.scan(one_frame, state, (frames, Rs, Ts))
+        # scalar readback closes the timing
+        return state, jnp.sum(state.channels["TSDF"].astype(jnp.float32))
 
     # warmup/compile
-    state = step(state, frames[0], *poses[0])
-    jax.block_until_ready(state.channels["TSDF"])
+    _, s0 = run_all(state, frames_j, Rs_j, Ts_j)
+    float(s0)
 
-    t0 = time.perf_counter()
-    for i in range(n_frames):
-        state = step(state, frames[i], *poses[i])
-    jax.block_until_ready(state.channels["TSDF"])
-    dt = time.perf_counter() - t0
-    fps = n_frames / dt
+    # RPC latency baseline
+    tiny = jax.jit(lambda x: jnp.sum(x))
+    tv = jnp.ones((8,), jnp.float32)
+    float(tiny(tv))
+    lat = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(tiny(tv))
+        lat.append(time.perf_counter() - t0)
+    lat = min(lat)
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _, sval = run_all(state, frames_j, Rs_j, Ts_j)
+        float(sval)
+        best = min(best, time.perf_counter() - t0)
+    per_frame = max(best - lat, 1e-9) / n_frames
+    fps = 1.0 / per_frame
 
     print(json.dumps({
         "metric": "depth_fusion_fps_640x480_5cm",

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from taichislam_tpu.core.config import TSDFConfig
 from taichislam_tpu.core.grid import allocate_from_touched
@@ -77,5 +77,5 @@ def multi_drone_step(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         local_step, mesh=mesh,
         in_specs=(dstate_spec, rep, P(axis), P(axis), P(axis), rep, rep, rep),
         out_specs=(dstate_spec, rep),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(fn)

@@ -177,6 +177,19 @@ class LoopbackTransport:
         pass
 
 
+def make_udpm_transport(url: str = "udpm://224.0.0.251:7667?ttl=1"):
+    """Prefer the native C++ transport (taichislam_tpu/runtime) when built;
+    fall back to the pure-Python socket implementation."""
+    try:
+        from taichislam_tpu.runtime import (
+            NativeUDPMulticastTransport, native_available)
+        if native_available():
+            return NativeUDPMulticastTransport(url)
+    except Exception:
+        pass
+    return UDPMulticastTransport(url)
+
+
 class SLAMComm:
     """Drop-in equivalent of the reference SLAMComm
     (communication.py:9-44): publishBuffer / handle / on_submap / on_traj
@@ -184,7 +197,7 @@ class SLAMComm:
 
     def __init__(self, drone_id=0, lcm_url="udpm://224.0.0.251:7667?ttl=1",
                  transport=None):
-        self.transport = transport or UDPMulticastTransport(lcm_url)
+        self.transport = transport or make_udpm_transport(lcm_url)
         self.drone_id = drone_id
         self.sent_msgs = set()
         self.on_submap: Optional[Callable[[bytes], None]] = None

@@ -64,6 +64,47 @@ def test_loopback_traj_channel():
     assert got == [b"traj-bytes"]
 
 
+def test_native_transport_interop_with_python():
+    """C++ transport (taichislam_tpu/runtime) <-> Python transport over real
+    multicast loopback, both directions, incl. fragmentation."""
+    import time
+    from taichislam_tpu.runtime import native_available
+    if not native_available():
+        import pytest
+        pytest.skip("native transport not built")
+    from taichislam_tpu.runtime import NativeUDPMulticastTransport
+
+    url = "udpm://224.0.0.251:17998?ttl=0"
+    try:
+        nat = NativeUDPMulticastTransport(url)
+        py = UDPMulticastTransport(url)
+    except OSError:
+        import pytest
+        pytest.skip("multicast unavailable in sandbox")
+    try:
+        time.sleep(0.2)
+        nat.publish("chan", b"hello-from-native")
+        msgs = py.poll(500)
+        if not msgs:
+            import pytest
+            pytest.skip("multicast loopback not delivered in sandbox")
+        assert ("chan", b"hello-from-native") in msgs
+
+        big = bytes(np.random.default_rng(0).integers(
+            0, 256, 250000, dtype=np.uint8))
+        py.publish("big", big)
+        got = {}
+        for _ in range(10):
+            for c, d in nat.poll(300):
+                got[c] = d
+            if "big" in got:
+                break
+        assert got.get("big") == big
+    finally:
+        nat.close()
+        py.close()
+
+
 def test_udpm_transport_loopback_short_and_fragmented():
     try:
         t1 = UDPMulticastTransport("udpm://224.0.0.251:17667?ttl=0")

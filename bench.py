@@ -28,6 +28,8 @@ def main():
     from taichislam_tpu.core.config import TSDFConfig
     from taichislam_tpu.ops import tsdf as tsdf_ops
 
+    import dataclasses
+
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
@@ -54,6 +56,17 @@ def main():
     frames_j = jnp.asarray(frames)
     Rs_j, Ts_j = jnp.asarray(Rs), jnp.asarray(Ts)
     texture = jnp.zeros((1, 1, 3), jnp.uint8)
+
+    # probe the real bin count once, then specialize the executable to a
+    # right-sized bin bucket (the scatter lattice scales with it)
+    _, probe_stats = tsdf_ops.integrate_depth(
+        cfg, state, frames_j[0], texture, Rs_j[0], Ts_j[0], K, K,
+        jnp.int32(0))
+    n_bins = int(probe_stats["num_bins"])
+    bucket = 2048
+    while bucket < n_bins * 3 // 2:
+        bucket *= 2
+    cfg = dataclasses.replace(cfg, max_bins=min(bucket, cfg.max_bins))
 
     def one_frame(state, inputs):
         depth, R, T = inputs

@@ -68,6 +68,10 @@ class DenseTSDF(BaseMap):
         # the pose registry is full-size even for the global map — its copy
         # is the authoritative one used by fuse_submaps (dense_tsdf.py:315)
         self.initialize_submap_fields(max_submap_num)
+        # adaptive ray-bin capacity: scatter cost scales with the (bins ×
+        # steps) lattice, so the integrate executable is specialized to a
+        # power-of-two bucket tracking the observed bin count
+        self._bin_bucket = min(4096, self.cfg.max_bins)
         self.last_stats = {}
         self.clear_last_TSDF_exporting = False
 
@@ -80,6 +84,19 @@ class DenseTSDF(BaseMap):
     # ------------------------------------------------------------------
     # ingestion
     # ------------------------------------------------------------------
+    def _recast_cfg(self):
+        import dataclasses
+        if self._bin_bucket >= self.cfg.max_bins:
+            return self.cfg
+        return dataclasses.replace(self.cfg, max_bins=self._bin_bucket)
+
+    def _update_bin_bucket(self, stats):
+        n = int(stats["num_bins"]) + int(stats["bins_dropped"])
+        want = 2048
+        while want < n * 3 // 2:
+            want *= 2
+        self._bin_bucket = min(max(want, 2048), self.cfg.max_bins)
+
     def recast_depth_to_map(self, R, T, depthmap, texture):
         """dense_tsdf.py:162-165."""
         self.set_pose(R, T)
@@ -88,11 +105,12 @@ class DenseTSDF(BaseMap):
         kc = self.K_cam_color if self.K_cam_color is not None else \
             self.K_cam_dep
         self.state, stats = tsdf_ops.integrate_depth(
-            self.cfg, self.state, jnp.asarray(depthmap),
+            self._recast_cfg(), self.state, jnp.asarray(depthmap),
             jnp.asarray(texture_arr), jnp.asarray(self.input_R),
             jnp.asarray(self.input_T), jnp.asarray(self.K_cam_dep),
             jnp.asarray(kc), jnp.int32(self.active_submap_id))
         self.last_stats = stats
+        self._update_bin_bucket(stats)
 
     def recast_pcl_to_map(self, R, T, xyz_array, rgb_array):
         """dense_tsdf.py:157-160."""
@@ -100,10 +118,11 @@ class DenseTSDF(BaseMap):
         rgb = rgb_array if self.enable_texture else np.zeros(
             (len(xyz_array), 3), np.float32)
         self.state, stats = tsdf_ops.integrate_pcl(
-            self.cfg, self.state, jnp.asarray(xyz_array, jnp.float32),
+            self._recast_cfg(), self.state, jnp.asarray(xyz_array, jnp.float32),
             jnp.asarray(rgb, jnp.float32), jnp.asarray(self.input_R),
             jnp.asarray(self.input_T), jnp.int32(self.active_submap_id))
         self.last_stats = stats
+        self._update_bin_bucket(stats)
 
     # ------------------------------------------------------------------
     # exports

@@ -269,9 +269,12 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     wf = jnp.where(mask_m, w.reshape(-1), 0.0)
     wdf = wf * d_signed.reshape(-1)
 
+    # ONE fused scatter for (Σw, Σw·d): TPU scatter cost is per update
+    # entry, so halving the scatter count halves the hot-path cost
     nvox = (spec.max_blocks + 1) * spec.voxels_per_block
-    w_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wf)
-    wd_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wdf)
+    acc = jnp.zeros((nvox, 2), jnp.float32).at[flat_m].add(
+        jnp.stack([wf, wdf], axis=-1))
+    w_sum, wd_sum = acc[:, 0], acc[:, 1]
 
     ch = dict(state.channels)
     D = ch["TSDF"].reshape(nvox).astype(jnp.float32)
@@ -282,9 +285,12 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     ch["TSDF"] = new_D.astype(cfg.dtype).reshape(ch["TSDF"].shape)
     ch["W_TSDF"] = new_W.astype(cfg.dtype).reshape(ch["W_TSDF"].shape)
 
-    # observed flag on every marched voxel (dense_tsdf.py:265)
-    ch["TSDF_observed"] = scatter_max(
-        ch["TSDF_observed"], flat_m, jnp.where(mask_m, 1, 0))
+    # observed flag on every marched voxel (dense_tsdf.py:265). All live
+    # lanes carry w > 0 (the 1/z² weight), so `touched` IS the marched set —
+    # no separate scatter needed.
+    obs = ch["TSDF_observed"].reshape(nvox)
+    ch["TSDF_observed"] = jnp.maximum(obs, touched.astype(jnp.int8)).reshape(
+        ch["TSDF_observed"].shape)
 
     # endpoint occupancy (dense_tsdf.py:248)
     slots_e = lookup_slots(spec, state.table, blin_e)

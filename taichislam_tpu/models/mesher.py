@@ -15,10 +15,12 @@ from taichislam_tpu.ops import marching_cubes as mc_ops
 
 class MarchingCubeMesher:
     def __init__(self, mapping, max_triangles=1000000,
-                 tsdf_surface_thres=0.1):
+                 tsdf_surface_thres=0.1, surface_block_cap=2048):
         self.mapping = mapping
         self.max_triangles = max_triangles
         self.tsdf_surface_thres = tsdf_surface_thres
+        self.surface_block_cap = min(surface_block_cap,
+                                     mapping.cfg.max_blocks)
         self.enable_texture = mapping.enable_texture
         self.num_facelets = 0
         n = max_triangles * 3
@@ -30,8 +32,12 @@ class MarchingCubeMesher:
     def generate_mesh(self, step=1):
         out = mc_ops.extract_mesh(
             self.mapping.cfg, self.max_triangles, int(step),
-            self.mapping.state, jnp.int32(self.mapping.active_submap_id),
+            self.surface_block_cap, self.mapping.state,
+            jnp.int32(self.mapping.active_submap_id),
             jnp.float32(self.tsdf_surface_thres))
+        if int(out["surface_blocks_dropped"]) > 0:
+            print(f"[Mesher] surface block cap hit: "
+                  f"{int(out['surface_blocks_dropped'])} dropped")
         self.num_facelets = int(out["num_triangles"])
         self.total_triangles = int(out["total_triangles"])
         self.mesh_vertices = np.asarray(out["vertices"])

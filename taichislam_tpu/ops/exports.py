@@ -3,6 +3,12 @@
 Rebuilds the reference's atomic-append export kernels
 (/root/reference/taichi_slam/mapping/dense_tsdf.py:339-404, 412-454) as
 masked prefix-sum compactions (deterministic, linear-index order).
+
+All exports are two-level: candidate **blocks** are compacted first (an
+nb-sized prefix sum — trivial), then the per-voxel compaction runs over the
+gathered ``block_cap × V³`` lanes instead of the whole allocated grid —
+scatter cost on TPU is per candidate lane, so this scales exports with the
+surface instead of the map.
 """
 
 from __future__ import annotations
@@ -61,8 +67,40 @@ def _active_voxel_mask(spec: GridSpec, state: GridState, active_submap,
                        require_submap=True):
     blk = state.block_active & (state.block_coords[:, 0] == active_submap) \
         if require_submap else state.block_active
-    blk = blk.at[-1].set(False)  # garbage row
-    return jnp.broadcast_to(blk[:, None], (blk.shape[0], spec.voxels_per_block))
+    blk = blk.at[-1].set(False)
+    return jnp.broadcast_to(blk[:, None],
+                            (blk.shape[0], spec.voxels_per_block))
+
+
+def _compact_blocks(spec: GridSpec, vox_mask, block_cap: int):
+    """Compact blocks containing any set voxel of ``vox_mask`` (nb, V³).
+
+    Returns (slot_of (cap,), bvalid (cap,), kept, dropped): ``slot_of`` maps
+    compacted position -> storage slot (garbage slot for padding)."""
+    nb = vox_mask.shape[0]
+    blk_has = jnp.any(vox_mask, axis=1)
+    bpos, bkept, btotal = compact_mask(blk_has, block_cap)
+    slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
+    bvalid = jnp.arange(block_cap) < bkept
+    return slot_of, bvalid, bkept, jnp.maximum(btotal - block_cap, 0)
+
+
+def _gathered_xyz(spec, state, slot_of, base_R, base_T, is_global):
+    coords = jnp.take(state.block_coords, slot_of, axis=0)      # (cap, 4)
+    origin = block_origin_voxel(spec, coords)                   # (cap, 3)
+    ijk = origin[:, None, :] + _intra_offsets(spec.V)[None]     # (cap,V³,3)
+    local = ijk.astype(jnp.float32) * spec.voxel_scale
+    if is_global:
+        return ijk, local
+    s = jnp.clip(coords[:, 0], 0, base_R.shape[0] - 1)
+    R = jnp.take(base_R, s, axis=0)
+    T = jnp.take(base_T, s, axis=0)
+    return ijk, jnp.einsum("bij,bvj->bvi", R, local) + T[:, None, :]
+
+
+def _export_block_cap(cfg: TSDFConfig) -> int:
+    return min(4096, cfg.max_blocks)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
@@ -78,15 +116,22 @@ def tsdf_surface_export(cfg: TSDFConfig, capacity: int, add_mode: bool,
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
-    obs = ch["TSDF_observed"].reshape(nb, -1) == 1
-    tsdf = ch["TSDF"].reshape(nb, -1).astype(jnp.float32)
-    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
-    mask = _active_voxel_mask(spec, state, active_submap)
-    mask &= obs & (jnp.abs(tsdf) < cfg.tsdf_surface_thres)
-    mask &= (xyz[..., 2] <= cfg.disp_ceiling) & (xyz[..., 2] >= cfg.disp_floor)
+    V3 = spec.voxels_per_block
 
-    flat_mask = mask.reshape(-1)
-    pos, kept, total = compact_mask(flat_mask, capacity)
+    obs = ch["TSDF_observed"].reshape(nb, V3) == 1
+    tsdf_full = ch["TSDF"].reshape(nb, V3).astype(jnp.float32)
+    pre_mask = _active_voxel_mask(spec, state, active_submap) & obs & \
+        (jnp.abs(tsdf_full) < cfg.tsdf_surface_thres)
+
+    bcap = _export_block_cap(cfg)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
+    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
+                           cfg.is_global_map)
+    mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
+    mask &= (xyz[..., 2] <= cfg.disp_ceiling) & (xyz[..., 2] >= cfg.disp_floor)
+    tsdf = jnp.take(tsdf_full, slot_of, axis=0)
+
+    pos, kept, total = compact_mask(mask.reshape(-1), capacity)
     pos = jnp.where(add_mode, jnp.where(pos < capacity, pos + start_index,
                                         capacity), pos)
     out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
@@ -95,7 +140,8 @@ def tsdf_surface_export(cfg: TSDFConfig, capacity: int, add_mode: bool,
 
     xyz_f = xyz.reshape(-1, 3)
     if cfg.texture_enabled:
-        col_f = ch["color"].reshape(-1, 3).astype(jnp.float32)
+        col_f = jnp.take(ch["color"].reshape(nb, V3, 3), slot_of,
+                         axis=0).reshape(-1, 3).astype(jnp.float32)
     else:
         col_f = color_from_colormap(xyz_f[:, 2], cfg.disp_floor,
                                     cfg.disp_ceiling)
@@ -115,14 +161,21 @@ def tsdf_slice_export(cfg: TSDFConfig, capacity: int, state: GridState,
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
-    obs = ch["TSDF_observed"].reshape(nb, -1) > 0
-    tsdf = ch["TSDF"].reshape(nb, -1).astype(jnp.float32)
+    V3 = spec.voxels_per_block
+    obs = ch["TSDF_observed"].reshape(nb, V3) > 0
     kidx = voxel_ijk_all(spec, state)[..., 2].astype(jnp.float32)
     zindex = jnp.trunc(z / cfg.voxel_scale)
-    mask = _active_voxel_mask(spec, state, active_submap) & obs
-    mask &= (kidx > zindex - dz) & (kidx < zindex + dz)
+    pre_mask = _active_voxel_mask(spec, state, active_submap) & obs
+    pre_mask &= (kidx > zindex - dz) & (kidx < zindex + dz)
 
-    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
+    bcap = _export_block_cap(cfg)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
+    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
+                           cfg.is_global_map)
+    mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
+    tsdf = jnp.take(ch["TSDF"].reshape(nb, V3), slot_of,
+                    axis=0).astype(jnp.float32)
+
     pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
     out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
     out_tsdf = jnp.zeros((capacity + 1,), jnp.float32)
@@ -154,22 +207,32 @@ def sparse_gather(cfg: TSDFConfig, capacity: int, state: GridState,
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
-    obs = ch["TSDF_observed"].reshape(nb, -1) > 0
-    mask = _active_voxel_mask(spec, state, active_submap) & obs
-    ijk = voxel_ijk_all(spec, state).reshape(-1, 3)
+    V3 = spec.voxels_per_block
+    obs = ch["TSDF_observed"].reshape(nb, V3) > 0
+    pre_mask = _active_voxel_mask(spec, state, active_submap) & obs
+
+    # serialization must be exhaustive: block cap = all blocks
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, spec.max_blocks)
+    ijk, _ = _gathered_xyz(spec, state, slot_of, jnp.zeros((1, 3, 3)),
+                           jnp.zeros((1, 3)), True)
+    mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
+
+    def g(channel, extra=()):
+        return jnp.take(channel.reshape((nb, V3) + extra), slot_of, axis=0)
 
     pos, kept, total = compact_mask(mask.reshape(-1), capacity)
     out_idx = jnp.zeros((capacity + 1, 3), jnp.int32).at[pos].set(
-        ijk, mode="drop")
+        ijk.reshape(-1, 3), mode="drop")
     out_tsdf = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        ch["TSDF"].reshape(-1).astype(jnp.float32), mode="drop")
+        g(ch["TSDF"]).reshape(-1).astype(jnp.float32), mode="drop")
     out_w = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        ch["W_TSDF"].reshape(-1).astype(jnp.float32), mode="drop")
+        g(ch["W_TSDF"]).reshape(-1).astype(jnp.float32), mode="drop")
     out_occ = jnp.zeros((capacity + 1,), jnp.int8).at[pos].set(
-        ch["occupy"].reshape(-1), mode="drop")
+        g(ch["occupy"]).reshape(-1), mode="drop")
     if cfg.texture_enabled:
         out_col = jnp.zeros((capacity + 1, 3), jnp.float32).at[pos].set(
-            ch["color"].reshape(-1, 3).astype(jnp.float32), mode="drop")
+            g(ch["color"], (3,)).reshape(-1, 3).astype(jnp.float32),
+            mode="drop")
     else:
         out_col = jnp.zeros((0, 3), jnp.float32)
     return (out_idx[:capacity], out_tsdf[:capacity], out_w[:capacity],

@@ -14,11 +14,18 @@ Design differences (TPU-first):
   normals point toward positive SDF. The result is a watertight triangulation
   of the same isosurface (slightly more triangles than classic MC, no
   ambiguous-case holes).
-- Extraction is two-phase with static shapes: (A) a parallel cell scan
-  computes per-(cell, tet) triangle counts and prefix-sum-compacts triangle
-  descriptors (replacing the reference's atomic ``num_facelets`` append,
-  marching_cube_mesher.py:110-125); (B) vertices/normals/colors are computed
-  only for the kept ``max_triangles``.
+- Extraction is three-phase with static shapes:
+  (0) **surface-block compaction** — blocks containing any candidate surface
+      voxel are compacted to a static ``surface_block_cap`` (an nb-sized
+      prefix sum, trivial), so the per-cell work scales with the surface,
+      not the whole allocated grid;
+  (A) a parallel cell scan over the compacted blocks computes per-(cell,
+      tet) triangle counts, with cube corners read from **slab-assembled
+      (V+2)³ halos** (per-block slice gathers; per-element corner lookups
+      would cost 8 × total voxels);
+  (B) vertices/normals/colors are computed only for the prefix-sum-kept
+      ``max_triangles`` (replacing the reference's atomic ``num_facelets``
+      append, marching_cube_mesher.py:110-125).
 
 Semantics preserved from the reference kernel
 (marching_cube_mesher.py:180-187, 127-178): cells are anchored at voxels with
@@ -26,6 +33,7 @@ Semantics preserved from the reference kernel
 its 8 corners (at ``+offset*step``) is unobserved; vertex positions are
 interpolated in voxel-index space then scaled by ``voxel_scale`` (map-local
 frame, no base-pose rotation); unallocated TSDF reads 0 for normals.
+``step > 1`` uses the coordinate-lookup path (corners beyond the 1-halo).
 """
 
 from __future__ import annotations
@@ -40,12 +48,13 @@ import numpy as np
 from taichislam_tpu.core.config import TSDFConfig
 from taichislam_tpu.core.compaction import compact_mask
 from taichislam_tpu.core.grid import (
+    block_origin_voxel,
     flat_voxel_index,
     gather_channel,
     lookup_slots,
     voxel_to_block,
 )
-from taichislam_tpu.ops.exports import voxel_ijk_all
+from taichislam_tpu.ops.esdf import assemble_halo, neighbor_slot_table
 
 EPS = 1e-6
 
@@ -132,45 +141,97 @@ def _vertex_interp(p0, p1, v0, v1):
     p = p0 + mu[..., None] * (p1 - p0)
     p = jnp.where((jnp.abs(v1) < EPS)[..., None], p1, p)
     p = jnp.where((jnp.abs(v0) < EPS)[..., None], p0, p)
-    mu = jnp.where(jnp.abs(v0) < EPS, 0.0, jnp.where(jnp.abs(v1) < EPS, 1.0, mu))
+    mu = jnp.where(jnp.abs(v0) < EPS, 0.0,
+                   jnp.where(jnp.abs(v1) < EPS, 1.0, mu))
     return p, mu
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+def _corner_values_halo(halo, V):
+    """(cap, V, V, V, 8) corner samples from a (cap, V+2, V+2, V+2) halo
+    (step == 1 fast path: every corner is a static slice)."""
+    outs = []
+    for dx, dy, dz in CUBE_CORNERS:
+        outs.append(halo[:, 1 + dx:1 + dx + V, 1 + dy:1 + dy + V,
+                         1 + dz:1 + dz + V])
+    return jnp.stack(outs, axis=-1)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
-                 state, active_submap, surface_thres):
+                 surface_block_cap: int, state, active_submap,
+                 surface_thres):
     """Extract the isosurface of the active submap (or global map).
 
     Returns dict with vertices (T*3, 3), normals (T*3, 3), colors (T*3, 3),
-    num_triangles, total_triangles (pre-cap).
+    num_triangles, total_triangles (pre-cap), num_surface_blocks,
+    surface_blocks_dropped.
     """
     spec = cfg.grid
+    V = spec.V
     nb = spec.max_blocks + 1
     nt_tab, edge_tab = tet_tri_tables()
 
-    # ---- phase A: cell scan ------------------------------------------------
-    cell_ijk = voxel_ijk_all(spec, state).reshape(-1, 3)        # (C, 3)
-    C = cell_ijk.shape[0]
-    obs_c = state.channels["TSDF_observed"].reshape(-1) > 0
-    tsdf_c = state.channels["TSDF"].reshape(-1).astype(jnp.float32)
+    tsdf_t = state.channels["TSDF"].astype(jnp.float32)
+    obs_t = state.channels["TSDF_observed"] > 0
     blk = state.block_active & (state.block_coords[:, 0] == active_submap)
     blk = blk.at[-1].set(False)
-    cell_ok = obs_c & (tsdf_c < surface_thres) & \
-        jnp.repeat(blk, spec.voxels_per_block)
 
-    corners = cell_ijk[:, None, :] + CUBE_CORNERS[None] * step   # (C, 8, 3)
-    s_arr = jnp.broadcast_to(active_submap, (C, 8))
-    cv = _lookup(spec, state, "TSDF", s_arr, corners).astype(jnp.float32)
-    cobs = _lookup(spec, state, "TSDF_observed", s_arr, corners)
-    cell_ok &= jnp.all(cobs > 0, axis=-1)
+    # ---- phase 0: compact surface blocks --------------------------------
+    anchor = obs_t & (tsdf_t < surface_thres)
+    blk_has = jnp.any(anchor.reshape(nb, -1), axis=1) & blk
+    bpos, bkept, btotal = compact_mask(blk_has, surface_block_cap)
+    slot_of = jnp.full((surface_block_cap + 1,), nb - 1, jnp.int32).at[
+        bpos].set(jnp.arange(nb, dtype=jnp.int32),
+                  mode="drop")[:surface_block_cap]
+    bvalid = jnp.arange(surface_block_cap) < bkept
 
-    inside = cv < 0.0                                            # (C, 8)
-    # per-tet case index from the 4 corner bits
+    cap = surface_block_cap
+    coords_c = jnp.take(state.block_coords, slot_of, axis=0)  # (cap, 4)
+    origin_c = block_origin_voxel(spec, coords_c)             # (cap, 3)
+
+    # ---- corner sampling --------------------------------------------------
+    if step == 1:
+        nslots = neighbor_slot_table(spec, state, active_submap)
+        # unobserved/missing neighbors read TSDF 0 / observed 0 — the
+        # reference's inactive-SNode semantics
+        tsdf_halo_all = assemble_halo(
+            jnp.where(obs_t, tsdf_t, 0.0).at[-1].set(0.0), nslots, V, 0.0)
+        obs_halo_all = assemble_halo(
+            obs_t.at[-1].set(False), nslots, V, False)
+        th = jnp.take(tsdf_halo_all, slot_of, axis=0)         # (cap, V+2,..)
+        oh = jnp.take(obs_halo_all, slot_of, axis=0)
+        cv = _corner_values_halo(th, V).reshape(cap, -1, 8)   # (cap, V³, 8)
+        cobs = _corner_values_halo(oh, V).reshape(cap, -1, 8)
+        if cfg.texture_enabled:
+            col_t = state.channels["color"].astype(jnp.float32)
+            col_halos = [assemble_halo(col_t[..., c].at[-1].set(0.0),
+                                       nslots, V, 0.0) for c in range(3)]
+            ccol = jnp.stack(
+                [_corner_values_halo(jnp.take(h, slot_of, axis=0),
+                                     V).reshape(cap, -1, 8)
+                 for h in col_halos], axis=-1)                 # (cap,V³,8,3)
+    else:
+        cell_ijk_c = origin_c[:, None, :] + _intra_np(V)[None]
+        corners = cell_ijk_c[:, :, None, :] + \
+            jnp.asarray(CUBE_CORNERS)[None, None] * step       # (cap,V³,8,3)
+        s_arr = jnp.broadcast_to(active_submap, corners.shape[:-1])
+        cv = _lookup(spec, state, "TSDF", s_arr, corners).astype(jnp.float32)
+        cobs = _lookup(spec, state, "TSDF_observed", s_arr, corners) > 0
+        if cfg.texture_enabled:
+            ccol = _lookup(spec, state, "color", s_arr, corners).astype(
+                jnp.float32)
+
+    anchor_c = jnp.take(anchor.reshape(nb, -1), slot_of, axis=0)  # (cap, V³)
+    cell_ok = anchor_c & bvalid[:, None] & jnp.all(cobs, axis=-1)
+
+    # ---- phase A: per-tet cases ------------------------------------------
+    C = cap * spec.voxels_per_block
+    inside = (cv < 0.0).reshape(C, 8)
     tet_bits = inside[:, TETS]                                   # (C, 6, 4)
     case = jnp.sum(tet_bits.astype(jnp.int32) *
                    jnp.asarray([1, 2, 4, 8])[None, None, :], axis=-1)
-    ntris = jnp.where(cell_ok[:, None], nt_tab[jnp.arange(6)[None, :], case],
-                      0)                                         # (C, 6)
+    ntris = jnp.where(cell_ok.reshape(C)[:, None],
+                      nt_tab[jnp.arange(6)[None, :], case], 0)   # (C, 6)
 
     emit = jnp.arange(2)[None, None, :] < ntris[:, :, None]      # (C, 6, 2)
     pos, kept, total = compact_mask(emit.reshape(-1), max_triangles)
@@ -187,13 +248,16 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
     k_case = case[cell_i, tet_i]
     e = edge_tab[tet_i, k_case, tri_i]                           # (T, 3, 2)
 
-    base = cell_ijk[cell_i].astype(jnp.float32)                  # (T, 3)
+    cell_block = cell_i // spec.voxels_per_block
+    cell_intra = cell_i % spec.voxels_per_block
+    base = (origin_c[cell_block] +
+            _intra_np(V)[cell_intra]).astype(jnp.float32)        # (T, 3)
     cpos = base[:, None, None, :] + \
         jnp.asarray(CUBE_CORNERS, jnp.float32)[e] * step         # (T, 3, 2, 3)
-    vals = cv[cell_i]                                            # (T, 8)
+    vals = cv.reshape(C, 8)[cell_i]                              # (T, 8)
     v0 = jnp.take_along_axis(vals, e[:, :, 0], axis=1)           # (T, 3)
     v1 = jnp.take_along_axis(vals, e[:, :, 1], axis=1)
-    vpos, mu = _vertex_interp(cpos[:, :, 0], cpos[:, :, 1], v0, v1)  # (T,3,3)
+    vpos, mu = _vertex_interp(cpos[:, :, 0], cpos[:, :, 1], v0, v1)
 
     # normals: central-difference TSDF gradient at round(p)
     # (marching_cube_mesher.py:84-93); unallocated voxels read 0
@@ -209,8 +273,7 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
                              1e-12)
 
     if cfg.texture_enabled:
-        ccol = _lookup(spec, state, "color", s_arr, corners)     # (C, 8, 3)
-        ccol_t = ccol[cell_i].astype(jnp.float32)                # (T, 8, 3)
+        ccol_t = ccol.reshape(C, 8, 3)[cell_i]                   # (T, 8, 3)
         idxA = jnp.broadcast_to(e[:, :, 0][:, :, None], e.shape[:2] + (3,))
         idxB = jnp.broadcast_to(e[:, :, 1][:, :, None], e.shape[:2] + (3,))
         colA = jnp.take_along_axis(ccol_t, idxA, axis=1)         # (T, 3, 3)
@@ -232,4 +295,17 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
         "colors": jnp.where(vmask, col, 0.5).reshape(-1, 3),
         "num_triangles": kept,
         "total_triangles": total,
+        "num_surface_blocks": bkept,
+        "surface_blocks_dropped": jnp.maximum(btotal - surface_block_cap, 0),
     }
+
+
+@functools.lru_cache(maxsize=8)
+def _intra_np_cached(V):
+    r = np.arange(V)
+    ii, jj, kk = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([ii, jj, kk], -1).reshape(-1, 3).astype(np.int32)
+
+
+def _intra_np(V):
+    return jnp.asarray(_intra_np_cached(V))

@@ -112,19 +112,26 @@ def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
     The reference iterates SNode level ``level`` above the leaves, reading
     the occupancy of each cell's corner voxel; equivalently we subsample the
     voxel lattice at stride ``K**level`` and keep corner voxels whose count
-    exceeds the threshold.
+    exceeds the threshold. Two-level compaction: occupied blocks first, then
+    voxels within them.
     """
+    from taichislam_tpu.ops.exports import _compact_blocks, _gathered_xyz
+
     spec = cfg.grid
     stride = cfg.K ** level
     nb = spec.max_blocks + 1
-    occ = state.channels["occupy"].reshape(nb, -1)
-    mask = _active_voxel_mask(spec, state, active_submap)
-    mask &= occ > cfg.min_occupy_thres
+    occ_full = state.channels["occupy"].reshape(nb, -1)
+    pre_mask = _active_voxel_mask(spec, state, active_submap)
+    pre_mask &= occ_full > cfg.min_occupy_thres
     if stride > 1:
-        ijk = voxel_ijk_all(spec, state)
-        on_lattice = jnp.all(ijk % stride == 0, axis=-1)
-        mask &= on_lattice
-    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
+        ijk_all = voxel_ijk_all(spec, state)
+        pre_mask &= jnp.all(ijk_all % stride == 0, axis=-1)
+
+    bcap = min(4096, spec.max_blocks)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
+    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
+                           cfg.is_global_map)
+    mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
 
     pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
     pos = jnp.where(add_mode, jnp.where(pos < capacity, pos + start_index,
@@ -133,10 +140,12 @@ def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
     out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
     out_xyz = out_xyz.at[pos].set(xyz.reshape(-1, 3), mode="drop")
     if cfg.texture_enabled:
-        col = state.channels["color"].reshape(-1, 3)
+        col = jnp.take(state.channels["color"].reshape(nb, -1, 3), slot_of,
+                       axis=0).reshape(-1, 3)
     else:
         xyz_f = xyz.reshape(-1, 3)
-        col = color_from_colormap(xyz_f[:, 2], cfg.disp_floor, cfg.disp_ceiling)
+        col = color_from_colormap(xyz_f[:, 2], cfg.disp_floor,
+                                  cfg.disp_ceiling)
     out_col = out_col.at[pos].set(col, mode="drop")
     count = jnp.where(add_mode, start_index + kept, kept)
     return out_xyz[:capacity], out_col[:capacity], count

@@ -30,10 +30,12 @@ def main():
 
     import dataclasses
 
+    # max_blocks sized ~3x the scene's surface blocks: the scan carry copies
+    # the whole state each frame on this relay, so capacity = cost
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
-        max_blocks=8192, max_bins=32768, max_submap_num=64)
+        max_blocks=2048, max_bins=32768, max_submap_num=64)
     state = tsdf_ops.make_tsdf_state(cfg)
 
     h, w = 480, 640
@@ -62,11 +64,10 @@ def main():
     _, probe_stats = tsdf_ops.integrate_depth(
         cfg, state, frames_j[0], texture, Rs_j[0], Ts_j[0], K, K,
         jnp.int32(0))
+    from taichislam_tpu.models.dense_tsdf import bin_bucket_for
     n_bins = int(probe_stats["num_bins"])
-    bucket = 2048
-    while bucket < n_bins * 3 // 2:
-        bucket *= 2
-    cfg = dataclasses.replace(cfg, max_bins=min(bucket, cfg.max_bins))
+    cfg = dataclasses.replace(
+        cfg, max_bins=min(bin_bucket_for(n_bins), cfg.max_bins))
 
     def one_frame(state, inputs):
         depth, R, T = inputs

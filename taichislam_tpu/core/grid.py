@@ -149,6 +149,9 @@ def allocate_blocks(
     lo = submap_id.astype(jnp.int32) * bps
 
     # Region-relative candidate ids, scattered into a `touched` bitmap.
+    # (A broadcast-compare reduction microbenchmarks 4x faster, but inside
+    # the full integrate XLA materializes the (lanes, bps) compare matrix
+    # and throughput collapses — keep the scatter.)
     rel = cand_blin - lo
     bad = (~cand_valid) | (rel < 0) | (rel >= bps)
     rel = jnp.where(bad, bps, rel)  # dropped by mode="drop"

@@ -21,6 +21,19 @@ from taichislam_tpu.ops import fusion as fusion_ops
 from taichislam_tpu.ops import tsdf as tsdf_ops
 
 
+def bin_bucket_for(n: int, headroom_num=11, headroom_den=10) -> int:
+    """Smallest {2, 3}·2^k bucket ≥ n·headroom (scatter lanes scale with the
+    bucket, so granularity matters)."""
+    want = max(n * headroom_num // headroom_den, 1)
+    b = 2048
+    while True:
+        if want <= b:
+            return b
+        if want <= b * 3 // 2:
+            return b * 3 // 2
+        b *= 2
+
+
 class DenseTSDF(BaseMap):
     def __init__(self, map_scale=[10, 10], voxel_scale=0.05,
                  texture_enabled=False, max_disp_particles=1024 * 1024,
@@ -92,10 +105,7 @@ class DenseTSDF(BaseMap):
 
     def _update_bin_bucket(self, stats):
         n = int(stats["num_bins"]) + int(stats["bins_dropped"])
-        want = 2048
-        while want < n * 3 // 2:
-            want *= 2
-        self._bin_bucket = min(max(want, 2048), self.cfg.max_bins)
+        self._bin_bucket = min(bin_bucket_for(n), self.cfg.max_bins)
 
     def recast_depth_to_map(self, R, T, depthmap, texture):
         """dense_tsdf.py:162-165."""

@@ -218,23 +218,33 @@ def esdf_slice_export(cfg: TSDFConfig, capacity: int, state, esdf,
     with jet colors over [-max_ray/4, max_ray/4] for contrast."""
     from taichislam_tpu.core.colormap import color_from_colormap
     from taichislam_tpu.core.compaction import compact_mask
-    from taichislam_tpu.ops.exports import voxel_ijk_all, voxel_xyz_all
+    from taichislam_tpu.ops.exports import (
+        _compact_blocks, _gathered_xyz, voxel_ijk_all)
 
     spec = cfg.grid
+    nb = spec.max_blocks + 1
+    V3 = spec.voxels_per_block
     kidx = voxel_ijk_all(spec, state)[..., 2].astype(jnp.float32).reshape(
-        participate.shape)
+        nb, V3)
     zindex = jnp.trunc(z / cfg.voxel_scale)
-    mask = participate & (kidx > zindex - dz) & (kidx < zindex + dz)
-    xyz = voxel_xyz_all(spec, state, base_R, base_T, cfg.is_global_map)
+    pre_mask = participate.reshape(nb, V3) & (kidx > zindex - dz) & \
+        (kidx < zindex + dz)
+
+    bcap = min(4096, spec.max_blocks)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
+    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
+                           cfg.is_global_map)
+    mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
+    esdf_g = jnp.take(esdf.reshape(nb, V3), slot_of, axis=0)
 
     pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
     out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32).at[pos].set(
         xyz.reshape(-1, 3), mode="drop")
     out_esdf = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        esdf.reshape(-1), mode="drop")
+        esdf_g.reshape(-1), mode="drop")
     rng = cfg.max_ray_length / 4.0
     out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32).at[pos].set(
-        color_from_colormap(esdf.reshape(-1), -rng, rng), mode="drop")
+        color_from_colormap(esdf_g.reshape(-1), -rng, rng), mode="drop")
     return out_xyz[:capacity], out_esdf[:capacity], out_col[:capacity], kept
 
 

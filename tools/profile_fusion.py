@@ -18,7 +18,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def timed(fn, args, k_lo=2, k_hi=12, reps=3):
+def timed(fn, args, perturb_idx=1, k_lo=2, k_hi=12, reps=3):
+    """Per-iteration time of ``fn`` via K-scan differencing.
+
+    The scan body must depend on the carry or XLA hoists it out of the loop
+    (loop-invariant code motion) and K-scaling vanishes; an opaque always-
+    zero epsilon derived from the carry is added to args[perturb_idx]."""
     import jax
     import jax.numpy as jnp
 
@@ -26,8 +31,10 @@ def timed(fn, args, k_lo=2, k_hi=12, reps=3):
         @jax.jit
         def run(*a):
             def body(carry, _):
-                out = fn(*a)
-                # fold output into carry so iterations aren't DCE'd
+                eps = jnp.where(jnp.isnan(carry), 1.0, 0.0)  # 0, but opaque
+                a2 = list(a)
+                a2[perturb_idx] = a2[perturb_idx] + eps
+                out = fn(*a2)
                 return carry + jnp.sum(out.astype(jnp.float32)), None
             acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
             return acc
@@ -80,7 +87,7 @@ def main():
         pm = geometry.rotate_points(R, pts)
         return tsdf_ops.bin_points(cfg, pm, dep, color, valid).count
 
-    print(f"binning:      {timed(binning, (depth, R)):7.2f} ms")
+    print(f"binning:      {timed(binning, (depth, R)):7.2f} ms", flush=True)
 
     def upto(stage):
         def fn(depth, R, T):
@@ -114,14 +121,14 @@ def main():
         return fn
 
     for stage in ["march", "blocks", "alloc", "flat", "scatter"]:
-        print(f"upto {stage:8s} {timed(upto(stage), (depth, R, T)):7.2f} ms")
+        print(f"upto {stage:8s} {timed(upto(stage), (depth, R, T)):7.2f} ms", flush=True)
 
     def full(depth, R, T):
         st, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
                                          K, K, jnp.int32(0))
         return st.channels["W_TSDF"]
 
-    print(f"full:         {timed(full, (depth, R, T)):7.2f} ms")
+    print(f"full:         {timed(full, (depth, R, T)):7.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -117,3 +117,38 @@ def test_two_drone_submap_exchange_roundtrip():
     top = sm_b.submap_collection.max_submap_num - 1
     assert sm_b.global_map.count_active() > 0
     assert sm_b.submaps  # frame id registered
+
+
+def test_octomap_submaps():
+    """SubmapMapping with the Octomap type (reference supports both)."""
+    from taichislam_tpu.models.octomap import Octomap
+    sm = SubmapMapping(Octomap, keyframe_step=2,
+                       sub_opts=dict(map_scale=[6.4, 3.2], voxel_scale=0.1,
+                                     max_blocks=256, max_submap_num=8,
+                                     max_disp_particles=65536),
+                       global_opts=dict(map_scale=[12.8, 3.2],
+                                        voxel_scale=0.1, max_blocks=512,
+                                        max_disp_particles=65536,
+                                        is_global_map=True))
+    sm.set_dep_camera_intrinsic(K_DEP)
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    rng = np.random.default_rng(0)
+    for t in range(3):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        pcl = rng.uniform(0.4, 1.4, size=(400, 3)).astype(np.float32)
+        sm.recast_pcl_to_map_by_frame(t, True, pose, ext, pcl,
+                                      np.zeros((400, 3), np.float32))
+    assert len(sm.submaps) == 2
+    sm.set_exporting_global()
+    sm.cvt_occupy_to_voxels(0)
+    # hit-count threshold is 3 by default; random points rarely hit a voxel
+    # 4 times, so lower-level check: the global map has allocated blocks
+    assert int(sm.global_map.state.num_blocks) > 0
+
+
+def test_compat_shim_imports():
+    from taichi_slam.mapping import DenseTSDF as D2, SubmapMapping as S2
+    from taichi_slam.utils.communication import SLAMComm as C2
+    assert D2 is DenseTSDF
+    assert S2 is SubmapMapping

@@ -293,16 +293,34 @@ class DenseTSDF(BaseMap):
     # ------------------------------------------------------------------
     def fuse_submaps(self, submaps: "DenseTSDF"):
         """Fuse all of ``submaps``'s submaps into this (global) map
-        (dense_tsdf.py:312-318). Resets first like the reference."""
-        self.reset()
+        (dense_tsdf.py:312-318). Resets first like the reference.
+
+        The splat lane count is ``source_cap × 7`` and scatter cost on TPU is
+        per lane, so the source capacity adapts to the observed source count
+        (growing and redoing on overflow — overflowed fusions would silently
+        lose map content)."""
         t = time.time()
-        # NOTE: like the reference (dense_tsdf.py:315-317), the base poses
-        # used for fusion are THIS (global) map's registry, which is the one
-        # PGO updates (submap_mapping.py:119).
-        self.state, stats = fusion_ops.fuse_submaps(
-            submaps.cfg, self.cfg, submaps.max_fuse_voxels, self.state,
-            submaps.state, jnp.asarray(self.submaps_base_R_np),
-            jnp.asarray(self.submaps_base_T_np))
+        cap = getattr(submaps, "_fuse_src_bucket", None) or \
+            min(1 << 16, submaps.max_fuse_voxels)
+        while True:
+            self.reset()
+            # NOTE: like the reference (dense_tsdf.py:315-317), the base
+            # poses used for fusion are THIS (global) map's registry, which
+            # is the one PGO updates (submap_mapping.py:119).
+            self.state, stats = fusion_ops.fuse_submaps(
+                submaps.cfg, self.cfg, cap, self.state,
+                submaps.state, jnp.asarray(self.submaps_base_R_np),
+                jnp.asarray(self.submaps_base_T_np))
+            total = int(stats["fuse_sources"]) + int(stats["fuse_dropped"])
+            if int(stats["fuse_dropped"]) == 0 or \
+                    cap >= submaps.max_fuse_voxels:
+                break
+            while cap < total * 11 // 10:
+                cap *= 2
+            cap = min(cap, submaps.max_fuse_voxels)
+        submaps._fuse_src_bucket = min(
+            exports_ops.pow2_capacity(total * 11 // 10, lo=1 << 14),
+            submaps.max_fuse_voxels)
         self.last_stats = stats
         print(f"[DenseTSDF] Fuse submaps {(time.time()-t)*1000:.1f}ms, "
               f"active local: {submaps.active_submap_id} "

@@ -87,3 +87,36 @@ def test_multi_drone_matches_sequential_fusion():
         np.asarray(gstate.channels["TSDF"]),
         np.asarray(g2.channels["TSDF"]), atol=1e-5)
     assert int(gstate.num_blocks) == int(g2.num_blocks)
+
+
+def test_block_sharded_integrate_matches_single_device():
+    """Slot-axis sharded integration == single-device integration."""
+    from taichislam_tpu.parallel.block_sharded import (
+        shard_state, sharded_integrate_depth)
+
+    cfg = TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                     num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                     min_ray_length=0.3, recast_step=2, max_blocks=63,
+                     max_bins=1024, max_submap_num=4)
+    mesh = make_mesh(8, "block")
+    state = tsdf_ops.make_tsdf_state(cfg)
+    rng = np.random.default_rng(1)
+    depth = jnp.asarray(rng.integers(400, 1400, size=(24, 32))
+                        .astype(np.uint16))
+    texture = jnp.zeros((1, 1, 3), jnp.uint8)
+    R = jnp.eye(3, dtype=jnp.float32)
+    T = jnp.zeros(3, jnp.float32)
+
+    ref_state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
+                                            K, K, jnp.int32(0))
+
+    sstate = shard_state(state, mesh, "block")
+    step = sharded_integrate_depth(cfg, mesh, "block")
+    out = step(sstate, depth, texture, R, T, K, K, jnp.int32(0))
+
+    assert int(out.num_blocks) == int(ref_state.num_blocks)
+    np.testing.assert_allclose(np.asarray(out.channels["TSDF"]),
+                               np.asarray(ref_state.channels["TSDF"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.channels["TSDF_observed"]),
+                                  np.asarray(ref_state.channels["TSDF_observed"]))

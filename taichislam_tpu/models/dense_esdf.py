@@ -20,10 +20,12 @@ from taichislam_tpu.ops import esdf as esdf_ops
 
 
 class DenseESDF(DenseTSDF):
-    def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64, **kwargs):
+    def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64,
+                 esdf_block_cap=None, **kwargs):
         super().__init__(*args, **kwargs)
         self.enable_esdf = enable_esdf
         self.max_esdf_sweeps = max_esdf_sweeps
+        self.esdf_block_cap = esdf_block_cap or min(2048, self.cfg.max_blocks)
         spec = self.cfg.grid
         shape = (spec.max_blocks + 1, spec.V, spec.V, spec.V)
         self.esdf = jnp.zeros(shape, jnp.float32)
@@ -46,8 +48,16 @@ class DenseESDF(DenseTSDF):
             self.update_esdf()
 
     def update_esdf(self):
+        # sweep cost scales with the compacted working set: bucket the cap
+        # to the allocated block count (power-of-two to bound recompiles)
+        nblocks = int(self.state.num_blocks) + 1
+        cap = 128
+        while cap < nblocks:
+            cap *= 2
+        cap = min(cap, self.esdf_block_cap)
         self.esdf, self.esdf_fixed, self.esdf_observed, sweeps = \
-            esdf_ops.esdf_update(self.cfg, self.max_esdf_sweeps, self.state,
+            esdf_ops.esdf_update(self.cfg, self.max_esdf_sweeps,
+                                 cap, self.state,
                                  self.esdf, self.esdf_fixed,
                                  jnp.int32(self.active_submap_id))
         self.last_esdf_sweeps = int(sweeps)

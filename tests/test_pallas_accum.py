@@ -1,0 +1,113 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from taichislam_tpu.ops.pallas.seg_accum import (
+    SENTINEL_KEY,
+    segmented_block_accumulate,
+)
+
+V3 = 512  # small tile for tests
+
+
+def reference(keys, w, wd, V3):
+    acc = {}
+    for k, wi, wdi in zip(keys, w, wd):
+        if k >= SENTINEL_KEY:
+            continue
+        b, i = divmod(int(k), V3)
+        a = acc.setdefault(b, np.zeros((2, V3), np.float32))
+        a[0, i] += wi
+        a[1, i] += wdi
+    return acc
+
+
+@pytest.mark.parametrize("n_blocks,lanes", [(5, 1024), (37, 2048), (1, 256)])
+def test_segmented_accumulate_matches_reference(n_blocks, lanes):
+    rng = np.random.default_rng(n_blocks)
+    keys = (rng.integers(0, n_blocks, lanes) * V3 +
+            rng.integers(0, V3, lanes)).astype(np.int32)
+    # sprinkle invalid lanes
+    inv = rng.random(lanes) < 0.1
+    keys[inv] = SENTINEL_KEY
+    w = rng.random(lanes).astype(np.float32)
+    wd = rng.standard_normal(lanes).astype(np.float32)
+
+    touched, acc, count = segmented_block_accumulate(
+        jnp.asarray(keys), jnp.asarray(w), jnp.asarray(wd), V3,
+        max_touched=64, interpret=True)
+    touched = np.asarray(touched)
+    acc = np.asarray(acc)
+    want = reference(keys, w, wd, V3)
+
+    assert int(count) == len(want)
+    got_blocks = [int(b) for b in touched if b >= 0]
+    assert got_blocks == sorted(want.keys())
+    for i, b in enumerate(got_blocks):
+        np.testing.assert_allclose(acc[i], want[b], atol=1e-4)
+
+
+def test_segmented_accumulate_overflow():
+    rng = np.random.default_rng(0)
+    lanes = 512
+    keys = (np.arange(lanes, dtype=np.int32) % 40) * V3  # 40 blocks
+    w = np.ones(lanes, np.float32)
+    wd = np.ones(lanes, np.float32)
+    touched, acc, count = segmented_block_accumulate(
+        jnp.asarray(keys), jnp.asarray(w), jnp.asarray(wd), V3,
+        max_touched=16, interpret=True)
+    assert int(count) == 40  # overflow reported
+    assert int(jnp.sum(touched >= 0)) == 16
+
+
+def test_block_spanning_chunks():
+    # one block's lanes span multiple chunks
+    lanes = 1024
+    keys = np.zeros(lanes, np.int32)  # all in block 0, intra 0
+    w = np.ones(lanes, np.float32)
+    wd = np.full(lanes, 2.0, np.float32)
+    touched, acc, count = segmented_block_accumulate(
+        jnp.asarray(keys), jnp.asarray(w), jnp.asarray(wd), V3,
+        max_touched=8, interpret=True)
+    assert int(count) == 1
+    assert int(touched[0]) == 0
+    assert float(acc[0, 0, 0]) == lanes
+    assert float(acc[0, 1, 0]) == 2.0 * lanes
+
+
+def test_integrate_pallas_matches_xla():
+    """Full integrate: Pallas accumulation (interpret) == XLA scatter path."""
+    import dataclasses
+    import jax
+    from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.ops import tsdf as tsdf_ops
+
+    base = TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                      num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                      min_ray_length=0.3, recast_step=2, max_blocks=64,
+                      max_bins=1024, max_submap_num=4,
+                      max_touched_blocks=64)
+    K = jnp.asarray([20.0, 0, 16.0, 0, 20.0, 12.0, 0, 0, 1], jnp.float32)
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(rng.integers(400, 1400, (24, 32)).astype(np.uint16))
+    texture = jnp.zeros((1, 1, 3), jnp.uint8)
+    R = jnp.eye(3, dtype=jnp.float32)
+    T = jnp.asarray([0.03, -0.01, 0.02], jnp.float32)
+
+    outs = {}
+    for mode in ("off", "on"):
+        cfg = dataclasses.replace(base, pallas_accum=mode)
+        st = tsdf_ops.make_tsdf_state(cfg)
+        st, stats = tsdf_ops.integrate_depth(cfg, st, depth, texture, R, T,
+                                             K, K, jnp.int32(0))
+        outs[mode] = st
+        assert int(stats["touched_dropped"]) == 0
+    a, b = outs["off"], outs["on"]
+    assert int(a.num_blocks) == int(b.num_blocks)
+    np.testing.assert_allclose(np.asarray(a.channels["TSDF"]),
+                               np.asarray(b.channels["TSDF"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.channels["W_TSDF"]),
+                               np.asarray(b.channels["W_TSDF"]), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(a.channels["TSDF_observed"]),
+        np.asarray(b.channels["TSDF_observed"]))

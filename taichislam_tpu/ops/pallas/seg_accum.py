@@ -51,11 +51,15 @@ def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
     keys = keys_ref[0]            # (8, 128)
     bkey = keys // V3
     intra = keys - bkey * V3
+    HI = V3 // 128
+    hi = intra // 128
+    lo = intra - hi * 128
     w = w_ref[0]
     wd = wd_ref[0]
     valid = keys < SENTINEL_KEY
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (128, V3), 1)
+    iota_hi = jax.lax.broadcasted_iota(jnp.int32, (128, HI), 1)
+    iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
 
     def flush():
         idx = tile_idx[0]
@@ -85,16 +89,25 @@ def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
         in_seg_f = jnp.where((bkey == cur) & valid, 1.0, 0.0)   # (8, 128)
         rows_live = jnp.sum(in_seg_f, axis=1)                   # (8,)
         # statically unrolled row loop (dynamic value indexing is not
-        # lowerable in Mosaic); rows without current-block lanes are skipped
+        # lowerable in Mosaic); rows without current-block lanes are skipped.
+        # The per-row accumulation is an outer product over the factored
+        # voxel index (hi = intra // 128, lo = intra % 128) computed on the
+        # MXU: (onehot_hi * w)^T @ onehot_lo — ~20x fewer VPU ops than a
+        # full-width one-hot pass.
         for r in range(8):
             @pl.when(rows_live[r] > 0.0)
             def _row(r=r):
-                onehot = jnp.where(iota == intra[r][:, None], 1.0, 0.0)
-                contrib = onehot * in_seg_f[r][:, None]
-                tile[0, :] = tile[0, :] + jnp.sum(contrib * w[r][:, None],
-                                                  axis=0)
-                tile[1, :] = tile[1, :] + jnp.sum(contrib * wd[r][:, None],
-                                                  axis=0)
+                oh_hi = jnp.where(iota_hi == hi[r][:, None], 1.0, 0.0)
+                oh_lo = jnp.where(iota_lo == lo[r][:, None], 1.0, 0.0)
+                m = in_seg_f[r]
+                a_w = jnp.dot((oh_hi * (w[r] * m)[:, None]).T, oh_lo,
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+                a_wd = jnp.dot((oh_hi * (wd[r] * m)[:, None]).T, oh_lo,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+                tile[0] = tile[0] + a_w
+                tile[1] = tile[1] + a_wd
         return cur
 
     def cond(last_done):
@@ -122,6 +135,7 @@ def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
              acc (max_touched, 2, V3) f32, n_touched — may exceed
              max_touched on overflow; overflowed tiles are dropped).
     """
+    assert V3 % 128 == 0, V3
     chunk = 1024  # lanes per grid step, shaped (8, 128) for Mosaic tiling
     pad = (-keys.shape[0]) % chunk
     if pad:
@@ -155,11 +169,12 @@ def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((max_touched,), jnp.int32),
-            jax.ShapeDtypeStruct((max_touched, 2, V3), jnp.float32),
+            jax.ShapeDtypeStruct((max_touched, 2, V3 // 128, 128),
+                                 jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, V3), jnp.float32),
+            pltpu.VMEM((2, V3 // 128, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -170,4 +185,4 @@ def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
     touched_keys = jnp.where(
         jnp.arange(max_touched) < jnp.minimum(count[0], max_touched),
         touched, -1)
-    return touched_keys, acc, count[0]
+    return touched_keys, acc.reshape(max_touched, 2, V3), count[0]

@@ -22,15 +22,14 @@ from taichislam_tpu.ops import tsdf as tsdf_ops
 
 
 def bin_bucket_for(n: int, headroom_num=11, headroom_den=10) -> int:
-    """Smallest {2, 3}·2^k bucket ≥ n·headroom (scatter lanes scale with the
-    bucket, so granularity matters)."""
+    """Smallest {1, 1.25, 1.5}·2^k bucket ≥ n·headroom (fusion lane count
+    scales with the bucket, so granularity matters)."""
     want = max(n * headroom_num // headroom_den, 1)
     b = 2048
     while True:
-        if want <= b:
-            return b
-        if want <= b * 3 // 2:
-            return b * 3 // 2
+        for num in (4, 5, 6):
+            if want <= b * num // 4:
+                return b * num // 4
         b *= 2
 
 

@@ -238,9 +238,13 @@ def _use_pallas_accum(cfg: TSDFConfig) -> bool:
     still uses the scatter path (per-lane color writes)."""
     if cfg.pallas_accum == "off" or cfg.texture_enabled:
         return False
-    from taichislam_tpu.ops.pallas.seg_accum import SENTINEL_BLOCK, SENTINEL_KEY
+    from taichislam_tpu.ops.pallas.seg_accum import (
+        SENTINEL_BLOCK, SENTINEL_KEY)
     spec = cfg.grid
-    if spec.blocks_per_submap >= SENTINEL_BLOCK or             spec.blocks_per_submap * spec.voxels_per_block >= SENTINEL_KEY:
+    if spec.voxels_per_block % 128 != 0:
+        return False  # kernel tiles factor the voxel index as hi*128 + lo
+    if (spec.blocks_per_submap >= SENTINEL_BLOCK or
+            spec.blocks_per_submap * spec.voxels_per_block >= SENTINEL_KEY):
         return False
     if cfg.pallas_accum == "on":
         return True

@@ -111,3 +111,18 @@ def test_integrate_pallas_matches_xla():
     np.testing.assert_array_equal(
         np.asarray(a.channels["TSDF_observed"]),
         np.asarray(b.channels["TSDF_observed"]))
+
+
+def test_pallas_gate_rejects_incompatible_grids():
+    import dataclasses
+    from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.ops.tsdf import _use_pallas_accum
+
+    # V=10 -> V3=1000 not divisible by 128 (the SubmapMapping default)
+    cfg = TSDFConfig(num_voxel_per_blk_axis=10, pallas_accum="on")
+    assert not _use_pallas_accum(cfg)
+    cfg = TSDFConfig(num_voxel_per_blk_axis=16, pallas_accum="on")
+    assert _use_pallas_accum(cfg)
+    cfg = TSDFConfig(num_voxel_per_blk_axis=16, pallas_accum="on",
+                     texture_enabled=True)
+    assert not _use_pallas_accum(cfg)

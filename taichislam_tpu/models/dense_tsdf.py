@@ -298,25 +298,39 @@ class DenseTSDF(BaseMap):
         per lane, so the source capacity adapts to the observed source count
         (growing and redoing on overflow — overflowed fusions would silently
         lose map content)."""
+        import dataclasses
         t = time.time()
         cap = getattr(submaps, "_fuse_src_bucket", None) or \
             min(1 << 16, submaps.max_fuse_voxels)
+        touched_cap = getattr(self, "_fuse_touched_bucket",
+                              self.cfg.max_touched_blocks)
         while True:
             self.reset()
+            glob_cfg = dataclasses.replace(self.cfg,
+                                           max_touched_blocks=touched_cap)
             # NOTE: like the reference (dense_tsdf.py:315-317), the base
             # poses used for fusion are THIS (global) map's registry, which
             # is the one PGO updates (submap_mapping.py:119).
             self.state, stats = fusion_ops.fuse_submaps(
-                submaps.cfg, self.cfg, cap, self.state,
+                submaps.cfg, glob_cfg, cap, self.state,
                 submaps.state, jnp.asarray(self.submaps_base_R_np),
                 jnp.asarray(self.submaps_base_T_np))
             total = int(stats["fuse_sources"]) + int(stats["fuse_dropped"])
-            if int(stats["fuse_dropped"]) == 0 or \
-                    cap >= submaps.max_fuse_voxels:
+            tiles_over = int(stats.get("fuse_tiles_dropped", 0))
+            src_over = int(stats["fuse_dropped"]) > 0 and \
+                cap < submaps.max_fuse_voxels
+            tile_over = tiles_over > 0 and touched_cap < self.cfg.max_blocks
+            if not src_over and not tile_over:
                 break
-            while cap < total * 11 // 10:
-                cap *= 2
-            cap = min(cap, submaps.max_fuse_voxels)
+            if src_over:
+                while cap < total * 11 // 10:
+                    cap *= 2
+                cap = min(cap, submaps.max_fuse_voxels)
+            if tile_over:
+                while touched_cap < (touched_cap + tiles_over) * 11 // 10:
+                    touched_cap *= 2
+                touched_cap = min(touched_cap, self.cfg.max_blocks)
+        self._fuse_touched_bucket = touched_cap
         submaps._fuse_src_bucket = min(
             exports_ops.pow2_capacity(total * 11 // 10, lo=1 << 14),
             submaps.max_fuse_voxels)

@@ -29,6 +29,7 @@ from taichislam_tpu.core.config import TSDFConfig
 from taichislam_tpu.core.compaction import compact_mask
 from taichislam_tpu.core.grid import (
     GridState,
+    allocate_blocks,
     allocate_from_touched,
     flat_voxel_index,
     lookup_slots,
@@ -164,21 +165,96 @@ def combine_accumulators(glob_cfg: TSDFConfig, global_state: GridState,
     return global_state._replace(channels=gch)
 
 
+def _use_pallas_fusion(glob_cfg: TSDFConfig) -> bool:
+    from taichislam_tpu.ops.pallas.seg_accum import SENTINEL_BLOCK
+    gspec = glob_cfg.grid
+    if glob_cfg.pallas_accum == "off" or glob_cfg.texture_enabled:
+        return False
+    if gspec.voxels_per_block % 128 != 0:
+        return False
+    if gspec.num_submaps * gspec.blocks_per_submap >= SENTINEL_BLOCK:
+        return False
+    if glob_cfg.pallas_accum == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
                  max_fuse_voxels: int, global_state: GridState,
                  sub_state: GridState, base_R, base_T):
     """Fuse ALL submaps (local + remote) into the global map. The caller
     resets the global map first, as DenseTSDF.fuse_submaps does
-    (dense_tsdf.py:312-318). Returns (global_state, stats)."""
+    (dense_tsdf.py:312-318). Returns (global_state, stats).
+
+    On TPU the splat accumulation runs through the Pallas sorted
+    segmented-reduce kernel (one tile per touched global block) instead of
+    4 per-lane scatters; ``fuse_tiles_dropped`` reports touched-capacity
+    overflow so the caller can grow ``glob_cfg.max_touched_blocks`` and redo.
+    """
     c = splat_contributions(sub_cfg, glob_cfg, max_fuse_voxels, sub_state,
                             base_R, base_T)
-    touched = accumulate_dense(glob_cfg, global_state, c)
-    global_state = allocate_from_touched(glob_cfg.grid, global_state, touched,
-                                         jnp.int32(0))
-    w_sum, wd_sum, occ_sum, wc_sum = scatter_accumulators(
-        glob_cfg, global_state, c)
-    global_state = combine_accumulators(glob_cfg, global_state, w_sum, wd_sum,
-                                        occ_sum, wc_sum)
-    stats = {"fuse_sources": c.kept, "fuse_dropped": c.dropped}
+    gspec = glob_cfg.grid
+    tiles_dropped = jnp.int32(0)
+
+    if _use_pallas_fusion(glob_cfg):
+        from taichislam_tpu.ops.pallas.seg_accum import (
+            SENTINEL_BLOCK, segmented_block_reduce)
+        V3 = gspec.voxels_per_block
+        bkey = jnp.where(c.ok, c.blin, SENTINEL_BLOCK)
+        occ_f = c.occ.astype(jnp.float32)
+        touched, acc, n_touched = segmented_block_reduce(
+            bkey, jnp.where(c.ok, c.intra, 0), (c.w, c.wd, occ_f), V3,
+            glob_cfg.max_touched_blocks,
+            interpret=(jax.default_backend() != "tpu"))
+        tiles_dropped = jnp.maximum(
+            n_touched - glob_cfg.max_touched_blocks, 0)
+
+        row_ok = touched >= 0
+        global_state = allocate_blocks(gspec, global_state,
+                                       jnp.where(row_ok, touched, -1),
+                                       row_ok, jnp.int32(0))
+        slots = lookup_slots(gspec, global_state.table,
+                             jnp.where(row_ok, touched, -1))
+        w_sum = jnp.where(row_ok[:, None], acc[:, 0, :], 0.0)
+        wd_sum = jnp.where(row_ok[:, None], acc[:, 1, :], 0.0)
+        occ_sum = jnp.where(row_ok[:, None], acc[:, 2, :], 0.0)
+
+        gch = dict(global_state.channels)
+        D = jnp.take(gch["TSDF"].reshape(-1, V3), slots,
+                     axis=0).astype(jnp.float32)
+        W = jnp.take(gch["W_TSDF"].reshape(-1, V3), slots,
+                     axis=0).astype(jnp.float32)
+        touched_v = w_sum > 0
+        new_D = jnp.where(touched_v, (D * W + wd_sum) / (W + w_sum), D)
+        new_W = W + w_sum  # no Wmax clamp (dense_tsdf.py:272-280)
+        tgt = jnp.where(row_ok, slots, gspec.max_blocks)
+        gch["TSDF"] = gch["TSDF"].reshape(-1, V3).at[tgt].set(
+            new_D.astype(glob_cfg.dtype), mode="drop").reshape(
+            gch["TSDF"].shape)
+        gch["W_TSDF"] = gch["W_TSDF"].reshape(-1, V3).at[tgt].set(
+            new_W.astype(glob_cfg.dtype), mode="drop").reshape(
+            gch["W_TSDF"].shape)
+        obs = jnp.take(gch["TSDF_observed"].reshape(-1, V3), slots, axis=0)
+        gch["TSDF_observed"] = gch["TSDF_observed"].reshape(-1, V3).at[
+            tgt].set(jnp.maximum(obs, touched_v.astype(jnp.int8)),
+                     mode="drop").reshape(gch["TSDF_observed"].shape)
+        occ_old = jnp.take(gch["occupy"].reshape(-1, V3), slots,
+                           axis=0).astype(jnp.int32)
+        gch["occupy"] = gch["occupy"].reshape(-1, V3).at[tgt].set(
+            (occ_old + occ_sum.astype(jnp.int32)).astype(jnp.int8),
+            mode="drop").reshape(gch["occupy"].shape)
+        for k in gch:
+            gch[k] = gch[k].at[-1].set(jnp.zeros_like(gch[k][-1]))
+        global_state = global_state._replace(channels=gch)
+    else:
+        touched = accumulate_dense(glob_cfg, global_state, c)
+        global_state = allocate_from_touched(glob_cfg.grid, global_state,
+                                             touched, jnp.int32(0))
+        w_sum, wd_sum, occ_sum, wc_sum = scatter_accumulators(
+            glob_cfg, global_state, c)
+        global_state = combine_accumulators(glob_cfg, global_state, w_sum,
+                                            wd_sum, occ_sum, wc_sum)
+    stats = {"fuse_sources": c.kept, "fuse_dropped": c.dropped,
+             "fuse_tiles_dropped": tiles_dropped}
     return global_state, stats

@@ -1,24 +1,28 @@
 """Pallas TPU kernel: sorted segmented block accumulation.
 
-The TSDF fusion hot loop must accumulate per-voxel (Σw, Σw·d) from ~400k
-ray-march lanes. XLA's scatter costs ~10 ns per lane on the v5e (masked
-lanes included), which caps fusion at ~50 fps. This kernel replaces the
-scatters: lanes are first sorted by a packed (block, intra-voxel) key (TPU
-sorts are cheap, ~1 ms for 500k), then a **sequential-grid Pallas kernel**
-streams the sorted lanes chunk by chunk, accumulating each block's
-contributions into a VMEM-resident tile with vectorized one-hot adds and
+The voxel-grid hot loops (TSDF ray-march fusion, submap splat fusion) must
+accumulate per-voxel sums from 10^5–10^6 scattered lanes. XLA's scatter costs
+~10 ns per lane on the v5e (masked lanes included), which caps fusion at
+~50 fps. This kernel replaces the scatters: lanes are first sorted by block
+key (TPU multi-operand sorts are cheap, ~0.5 ms for 500k), then a
+**sequential-grid Pallas kernel** streams the sorted lanes chunk by chunk,
+accumulating each block's contributions into a VMEM-resident tile and
 DMA-flushing the finished tile to a compact per-touched-block output — so
 HBM sees one tile write per touched block instead of one transaction per
 lane.
 
+The per-row accumulation factors the intra-voxel index as
+``hi * 128 + lo`` and computes the outer product
+``(onehot_hi · value)ᵀ @ onehot_lo`` on the MXU with HIGHEST precision
+(exact for f32 inputs; the bf16 default silently loses ~0.2%).
+
 Outputs are compact: the list of touched block keys (ascending) and an f32
-accumulator tile (2, V³) per touched block. The caller allocates blocks from
-the touched list and combines tiles into the channel arrays with
+accumulator tile (n_vals, V³) per touched block. The caller allocates blocks
+from the touched list and combines tiles into the channel arrays with
 block-granular (DMA-friendly) gathers/scatters.
 
-Layout requirements: lanes padded to a multiple of ``chunk``; keys are
-``block_key * V3 + intra`` sorted ascending with invalid lanes keyed
-``SENTINEL_KEY`` so they sort last.
+Constraints: V³ % 128 == 0; block keys < SENTINEL_BLOCK (2^24); invalid
+lanes carry bkey = SENTINEL_BLOCK so they sort last.
 """
 
 from __future__ import annotations
@@ -31,13 +35,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SENTINEL_BLOCK = 2 ** 24   # min-select fill; > any real block key
-SENTINEL_KEY = 2 ** 30     # invalid-lane key (int32-safe, sorts last)
+SENTINEL_BLOCK = 2 ** 24   # invalid-lane block key; sorts last
+# retained for callers/tests that pack keys as bkey * V3 + intra
+SENTINEL_KEY = 2 ** 30
 
 
-def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
-            tile, cur_blk, tile_idx, sem, *, V3: int, CH: int,
+def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
             max_touched: int):
+    val_refs = rest[:n_vals]
+    touched_ref, acc_ref, count_ref, tile, cur_blk, tile_idx, sem = \
+        rest[n_vals:]
+
     step = pl.program_id(0)
     nsteps = pl.num_programs(0)
 
@@ -48,15 +56,13 @@ def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
         count_ref[0] = jnp.int32(0)
         tile[...] = jnp.zeros_like(tile)
 
-    keys = keys_ref[0]            # (8, 128)
-    bkey = keys // V3
-    intra = keys - bkey * V3
+    bkey = bkey_ref[0]                     # (rows, 128)
+    intra = intra_ref[0]
     HI = V3 // 128
     hi = intra // 128
     lo = intra - hi * 128
-    w = w_ref[0]
-    wd = wd_ref[0]
-    valid = keys < SENTINEL_KEY
+    vals = [v[0] for v in val_refs]
+    valid = bkey < SENTINEL_BLOCK
 
     iota_hi = jax.lax.broadcasted_iota(jnp.int32, (128, HI), 1)
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
@@ -86,28 +92,23 @@ def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
             cur_blk[0] = cur
 
         # f32 mask arithmetic: Mosaic cannot minor-dim-broadcast i1 vectors
-        in_seg_f = jnp.where((bkey == cur) & valid, 1.0, 0.0)   # (8, 128)
-        rows_live = jnp.sum(in_seg_f, axis=1)                   # (8,)
+        in_seg_f = jnp.where((bkey == cur) & valid, 1.0, 0.0)
+        rows_live = jnp.sum(in_seg_f, axis=1)
         # statically unrolled row loop (dynamic value indexing is not
         # lowerable in Mosaic); rows without current-block lanes are skipped.
-        # The per-row accumulation is an outer product over the factored
-        # voxel index (hi = intra // 128, lo = intra % 128) computed on the
-        # MXU: (onehot_hi * w)^T @ onehot_lo — ~20x fewer VPU ops than a
-        # full-width one-hot pass.
-        for r in range(8):
+        # Accumulation per row = outer product over the factored voxel index
+        # on the MXU — ~20x fewer VPU ops than a full-width one-hot pass.
+        for r in range(rows):
             @pl.when(rows_live[r] > 0.0)
             def _row(r=r):
                 oh_hi = jnp.where(iota_hi == hi[r][:, None], 1.0, 0.0)
                 oh_lo = jnp.where(iota_lo == lo[r][:, None], 1.0, 0.0)
                 m = in_seg_f[r]
-                a_w = jnp.dot((oh_hi * (w[r] * m)[:, None]).T, oh_lo,
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-                a_wd = jnp.dot((oh_hi * (wd[r] * m)[:, None]).T, oh_lo,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-                tile[0] = tile[0] + a_w
-                tile[1] = tile[1] + a_wd
+                for v in range(n_vals):
+                    a = jnp.dot((oh_hi * (vals[v][r] * m)[:, None]).T, oh_lo,
+                                preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+                    tile[v] = tile[v] + a
         return cur
 
     def cond(last_done):
@@ -122,67 +123,73 @@ def _kernel(keys_ref, w_ref, wd_ref, touched_ref, acc_ref, count_ref,
         count_ref[0] = tile_idx[0]
 
 
-def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
-                               chunk: int = 1024, interpret: bool = False):
-    """Sort lanes by key and accumulate per-block tiles.
+def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
+                           rows: int = 8, interpret: bool = False):
+    """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:
-        keys: (N,) int32 packed ``block_key * V3 + intra``
-            (``SENTINEL_KEY`` for invalid lanes; real keys must stay below
-            ``SENTINEL_BLOCK``); N % chunk == 0.
-        w, wd: (N,) f32 lane values.
+        bkey: (N,) int32 block keys (< SENTINEL_BLOCK; SENTINEL_BLOCK for
+            invalid lanes).
+        intra: (N,) int32 intra-block voxel index in [0, V3).
+        vals: tuple of (N,) f32 lane values.
     Returns (touched (max_touched,) int32 block keys (-1 padded),
-             acc (max_touched, 2, V3) f32, n_touched — may exceed
+             acc (max_touched, n_vals, V3) f32, n_touched — may exceed
              max_touched on overflow; overflowed tiles are dropped).
     """
     assert V3 % 128 == 0, V3
-    chunk = 1024  # lanes per grid step, shaped (8, 128) for Mosaic tiling
-    pad = (-keys.shape[0]) % chunk
+    n_vals = len(vals)
+    chunk = rows * 128
+    pad = (-bkey.shape[0]) % chunk
     if pad:
-        keys = jnp.pad(keys, (0, pad), constant_values=SENTINEL_KEY)
-        w = jnp.pad(w, (0, pad))
-        wd = jnp.pad(wd, (0, pad))
-    N = keys.shape[0]
-    skeys, sw, swd = jax.lax.sort((keys, w, wd), num_keys=1)
-    skeys = skeys.reshape(-1, 8, 128)
-    sw = sw.reshape(-1, 8, 128)
-    swd = swd.reshape(-1, 8, 128)
+        bkey = jnp.pad(bkey, (0, pad), constant_values=SENTINEL_BLOCK)
+        intra = jnp.pad(intra, (0, pad))
+        vals = tuple(jnp.pad(v, (0, pad)) for v in vals)
+    N = bkey.shape[0]
+    srt = jax.lax.sort((bkey, intra) + tuple(vals), num_keys=1)
+    ops = [a.reshape(-1, rows, 128) for a in srt]
 
     grid = (N // chunk,)
-    kern = functools.partial(_kernel, V3=V3, CH=chunk,
+    kern = functools.partial(_kernel, V3=V3, rows=rows, n_vals=n_vals,
                              max_touched=max_touched)
+    spec = pl.BlockSpec((1, rows, 128), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
     touched, acc, count = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=[spec] * (2 + n_vals),
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((max_touched,), jnp.int32),
-            jax.ShapeDtypeStruct((max_touched, 2, V3 // 128, 128),
+            jax.ShapeDtypeStruct((max_touched, n_vals, V3 // 128, 128),
                                  jnp.float32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, V3 // 128, 128), jnp.float32),
+            pltpu.VMEM((n_vals, V3 // 128, 128), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(skeys, sw, swd)
+    )(*ops)
     touched_keys = jnp.where(
         jnp.arange(max_touched) < jnp.minimum(count[0], max_touched),
         touched, -1)
-    return touched_keys, acc.reshape(max_touched, 2, V3), count[0]
+    return touched_keys, acc.reshape(max_touched, n_vals, V3), count[0]
+
+
+def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
+                               chunk: int = 1024, interpret: bool = False):
+    """Back-compat wrapper over packed keys (``bkey * V3 + intra``;
+    ``SENTINEL_KEY`` for invalid lanes)."""
+    invalid = keys >= SENTINEL_KEY
+    bk = keys // V3
+    bkey = jnp.where(invalid, SENTINEL_BLOCK, bk)
+    intra = jnp.where(invalid, 0, keys - bk * V3)
+    return segmented_block_reduce(bkey, intra, (w, wd), V3, max_touched,
+                                  rows=chunk // 128, interpret=interpret)

@@ -126,3 +126,46 @@ def test_pallas_gate_rejects_incompatible_grids():
     cfg = TSDFConfig(num_voxel_per_blk_axis=16, pallas_accum="on",
                      texture_enabled=True)
     assert not _use_pallas_accum(cfg)
+
+
+def test_fuse_submaps_pallas_matches_xla():
+    """Submap fusion: Pallas path (interpret) == XLA scatter path.
+    Needs 128-divisible V3 (V=8 -> 512)."""
+    import dataclasses
+    from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.ops import tsdf as tsdf_ops, fusion as fusion_ops
+
+    sub_cfg = TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                         num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                         min_ray_length=0.3, recast_step=2, max_blocks=64,
+                         max_bins=1024, max_submap_num=4, pallas_accum="off")
+    K = jnp.asarray([20.0, 0, 16.0, 0, 20.0, 12.0, 0, 0, 1], jnp.float32)
+    rng = np.random.default_rng(3)
+    depth = jnp.asarray(rng.integers(400, 1400, (24, 32)).astype(np.uint16))
+    st = tsdf_ops.make_tsdf_state(sub_cfg)
+    st, _ = tsdf_ops.integrate_depth(
+        sub_cfg, st, depth, jnp.zeros((1, 1, 3), jnp.uint8),
+        jnp.eye(3, dtype=jnp.float32), jnp.zeros(3, jnp.float32),
+        K, K, jnp.int32(0))
+
+    base_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (4, 3, 3))
+    base_T = jnp.zeros((4, 3), jnp.float32)
+    outs = {}
+    for mode in ("off", "on"):
+        glob_cfg = TSDFConfig(map_scale=(6.4, 6.4), voxel_scale=0.1,
+                              num_voxel_per_blk_axis=8, max_blocks=128,
+                              max_submap_num=1, is_global_map=True,
+                              pallas_accum=mode, max_touched_blocks=128)
+        g = tsdf_ops.make_tsdf_state(glob_cfg)
+        g, stats = fusion_ops.fuse_submaps(sub_cfg, glob_cfg, 4096, g, st,
+                                           base_R, base_T)
+        assert int(stats.get("fuse_tiles_dropped", 0)) == 0
+        outs[mode] = g
+    a, b = outs["off"], outs["on"]
+    assert int(a.num_blocks) == int(b.num_blocks)
+    np.testing.assert_allclose(np.asarray(a.channels["TSDF"]),
+                               np.asarray(b.channels["TSDF"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.channels["W_TSDF"]),
+                               np.asarray(b.channels["W_TSDF"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(a.channels["occupy"]),
+                                  np.asarray(b.channels["occupy"]))

@@ -35,7 +35,7 @@ def main():
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
-        max_blocks=2048, max_bins=32768, max_submap_num=64)
+        max_blocks=1024, max_bins=32768, max_submap_num=64)
     state = tsdf_ops.make_tsdf_state(cfg)
 
     h, w = 480, 640

@@ -97,6 +97,27 @@ def voxel_to_block(spec: GridSpec, s, ijk):
     return blin, intra_lin, inb
 
 
+def voxel_to_block_c(spec: GridSpec, s, vi, vj, vk):
+    """Component-array variant of :func:`voxel_to_block` (identical math;
+    avoids stacked (..., 3) intermediates whose minor dim pads to 128 lanes
+    on TPU)."""
+    V = spec.V
+    o = spec.origin_voxel
+    ui = vi - o[0]
+    uj = vj - o[1]
+    uk = vk - o[2]
+    inb = ((ui >= 0) & (ui < spec.N) & (uj >= 0) & (uj < spec.N) &
+           (uk >= 0) & (uk < spec.Nz))
+    inb = inb & (s >= 0) & (s < spec.num_submaps)
+    bi, bj, bk = ui // V, uj // V, uk // V
+    ii, ij, ik = ui - bi * V, uj - bj * V, uk - bk * V
+    blin = (bi * spec.bn_xy + bj) * spec.bn_z + bk + \
+        s * spec.blocks_per_submap
+    blin = jnp.where(inb, blin, -1)
+    intra_lin = (ii * V + ij) * V + ik
+    return blin, intra_lin, inb
+
+
 def block_lin_to_coords(spec: GridSpec, blin):
     """Linear block id -> (s, bi, bj, bk) int32 stack (..., 4)."""
     bps = spec.blocks_per_submap

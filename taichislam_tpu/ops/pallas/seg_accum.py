@@ -184,7 +184,7 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
 
 
 def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
-                               chunk: int = 1024, interpret: bool = False):
+                               chunk: int = 4096, interpret: bool = False):
     """Back-compat wrapper over packed keys (``bkey * V3 + intra``;
     ``SENTINEL_KEY`` for invalid lanes)."""
     invalid = keys >= SENTINEL_KEY

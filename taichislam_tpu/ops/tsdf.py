@@ -51,6 +51,7 @@ from taichislam_tpu.core.grid import (
     scatter_add,
     scatter_max,
     voxel_to_block,
+    voxel_to_block_c,
 )
 
 TSDF_CHANNELS = ("TSDF", "W_TSDF", "TSDF_observed", "occupy")
@@ -142,47 +143,63 @@ class Bins(NamedTuple):
     dropped: jax.Array    # () int32 — bins beyond max_bins (capacity miss)
 
 
-def bin_points(cfg: TSDFConfig, pts_map, z, color, valid) -> Bins:
-    """Deduplicate rays by sensor-local voxel.
+def bin_points_c(cfg: TSDFConfig, px, py, pz, z, color, valid) -> Bins:
+    """Deduplicate rays by sensor-local voxel (component-array form).
 
     Equivalent to ``process_point`` scatter-adds into the sparse PCL grid
-    (dense_tsdf.py:227-234), built as sort + segment-sum: deterministic and
-    free of atomics. ``pts_map`` are sensor-centric, map-oriented points
-    (R @ p, no translation — matching the reference's bins).
+    (dense_tsdf.py:227-234), built as one multi-operand ``lax.sort`` +
+    segment-sums: deterministic and free of atomics. Points are
+    sensor-centric, map-oriented (R @ p, no translation — matching the
+    reference's bins). Component arrays keep every intermediate's minor dim
+    lane-sized (a stacked (P, 3) layout pads 3 -> 128 lanes on TPU).
     """
     r = int(math.ceil(cfg.max_ray_length / cfg.voxel_scale)) + 1
     G = 2 * r + 1
-    vox = geometry.xyz_to_ijk(pts_map, cfg.voxel_scale)
-    inb = jnp.all(jnp.abs(vox) <= r, axis=-1) & valid
-    u = vox + r
-    bin_id = (u[..., 0] * G + u[..., 1]) * G + u[..., 2]
+    vi = geometry.round_half_away(px / cfg.voxel_scale).astype(jnp.int32)
+    vj = geometry.round_half_away(py / cfg.voxel_scale).astype(jnp.int32)
+    vk = geometry.round_half_away(pz / cfg.voxel_scale).astype(jnp.int32)
+    inb = (jnp.abs(vi) <= r) & (jnp.abs(vj) <= r) & (jnp.abs(vk) <= r) & valid
+    bin_id = ((vi + r) * G + (vj + r)) * G + (vk + r)
     bin_id = jnp.where(inb, bin_id, G * G * G)  # invalid sorts last
 
-    order = jnp.argsort(bin_id)
-    bid = bin_id[order]
-    pts_s = pts_map[order]
-    z_s = z[order]
+    ops = (bin_id, px, py, pz, z) + ((color[:, 0], color[:, 1], color[:, 2])
+                                     if (cfg.texture_enabled and
+                                         color is not None) else ())
+    srt = jax.lax.sort(ops, num_keys=1)
+    bid = srt[0]
     ok = bid < G * G * G
 
     head = ok & jnp.concatenate([jnp.array([True]), bid[1:] != bid[:-1]])
     rank = jnp.cumsum(head.astype(jnp.int32)) - 1
     total_bins = jnp.maximum(rank[-1] + 1, 0)
-    seg = jnp.where(ok & (rank < cfg.max_bins), rank, cfg.max_bins)
 
     B = cfg.max_bins
     ones = ok.astype(jnp.float32)
-    count = jax.ops.segment_sum(ones, seg, num_segments=B + 1,
-                                indices_are_sorted=True)[:B]
-    sum_pos = jax.ops.segment_sum(pts_s * ones[:, None], seg,
-                                  num_segments=B + 1,
-                                  indices_are_sorted=True)[:B]
-    sum_z = jax.ops.segment_sum(z_s * ones, seg, num_segments=B + 1,
-                                indices_are_sorted=True)[:B]
+
+    # segmented sums WITHOUT scatters (segment_sum lowers to a ~10 ns/lane
+    # scatter on TPU): prefix-sum each value, then difference the cumsum at
+    # per-bin segment boundaries found by binary search over the (monotone)
+    # rank array — O(B log N) gathers instead of O(N) scatter lanes.
+    rank_mono = jnp.where(ok, rank, B + total_bins + 1)
+    bins_iota = jnp.arange(B, dtype=jnp.int32)
+    starts = jnp.searchsorted(rank_mono, bins_iota)
+    ends = jnp.searchsorted(rank_mono, bins_iota + 1)  # exclusive
+
+    def seg_sum(vals):
+        cs = jnp.cumsum(vals * ones)
+        end_v = jnp.take(cs, jnp.clip(ends - 1, 0, cs.shape[0] - 1))
+        start_v = jnp.where(starts > 0,
+                            jnp.take(cs, jnp.clip(starts - 1, 0,
+                                                  cs.shape[0] - 1)), 0.0)
+        return jnp.where(ends > starts, end_v - start_v, 0.0)
+
+    count = seg_sum(jnp.ones_like(ones))
+    sum_pos = jnp.stack([seg_sum(srt[1]), seg_sum(srt[2]), seg_sum(srt[3])],
+                        axis=-1)
+    sum_z = seg_sum(srt[4])
     if cfg.texture_enabled and color is not None:
-        col_s = color[order]
-        sum_color = jax.ops.segment_sum(col_s * ones[:, None], seg,
-                                        num_segments=B + 1,
-                                        indices_are_sorted=True)[:B]
+        sum_color = jnp.stack([seg_sum(srt[5]), seg_sum(srt[6]),
+                               seg_sum(srt[7])], axis=-1)
     else:
         sum_color = jnp.zeros((B, 3), jnp.float32)
     return Bins(
@@ -195,12 +212,20 @@ def bin_points(cfg: TSDFConfig, pts_map, z, color, valid) -> Bins:
     )
 
 
+def bin_points(cfg: TSDFConfig, pts_map, z, color, valid) -> Bins:
+    """Stacked-points wrapper over :func:`bin_points_c`."""
+    return bin_points_c(cfg, pts_map[:, 0], pts_map[:, 1], pts_map[:, 2],
+                        z, color, valid)
+
+
 # ---------------------------------------------------------------------------
 # ray-march fusion
 # ---------------------------------------------------------------------------
 
-def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
-    """Sample points / voxel coords / weights for every (bin, step) pair.
+def _march_lattice_c(cfg: TSDFConfig, bins: Bins, T):
+    """Sample points / voxel coords / weights for every (bin, step) pair,
+    in component-array form (every intermediate is (B, S) or (B,): stacked
+    (B, S, 3) arrays pad the minor dim 3 -> 128 lanes on TPU).
 
     Vectorizes ``process_new_pcl`` (dense_tsdf.py:236-270): step j covers
     distance (j+1)·voxel along the mean-bin direction; the number of live
@@ -208,11 +233,13 @@ def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
     """
     S = cfg.max_ray_steps
     c = jnp.maximum(bins.count, 1.0)
-    pos_s2p = bins.sum_pos / c[:, None]
-    length = jnp.linalg.norm(pos_s2p, axis=-1)
-    safe_len = jnp.maximum(length, 1e-12)
-    d_s2p = pos_s2p / safe_len[:, None]
-    pos_p = pos_s2p + T
+    p0 = bins.sum_pos[:, 0] / c
+    p1 = bins.sum_pos[:, 1] / c
+    p2 = bins.sum_pos[:, 2] / c
+    length = jnp.sqrt(p0 * p0 + p1 * p1 + p2 * p2)
+    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    d0, d1, d2 = p0 * inv_len, p1 * inv_len, p2 * inv_len
+    e0, e1, e2 = p0 + T[0], p1 + T[1], p2 + T[2]   # pos_p (endpoint)
     z = bins.sum_z / c
 
     n_steps = jnp.floor(jnp.minimum(
@@ -220,16 +247,29 @@ def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
         cfg.max_ray_length / cfg.voxel_scale)).astype(jnp.int32)
 
     step_dist = (jnp.arange(S, dtype=jnp.float32) + 1.0) * cfg.voxel_scale
-    x = d_s2p[:, None, :] * step_dist[None, :, None] + T  # (B, S, 3)
+    x0 = d0[:, None] * step_dist[None, :] + T[0]   # (B, S)
+    x1 = d1[:, None] * step_dist[None, :] + T[1]
+    x2 = d2[:, None] * step_dist[None, :] + T[2]
     live = (jnp.arange(S)[None, :] < n_steps[:, None]) & bins.valid[:, None]
 
-    v2p = pos_p[:, None, :] - x
-    d_x_p = jnp.linalg.norm(v2p, axis=-1)
-    dot = jnp.einsum("bsd,bd->bs", v2p, pos_s2p)
+    v0 = e0[:, None] - x0
+    v1 = e1[:, None] - x1
+    v2 = e2[:, None] - x2
+    d_x_p = jnp.sqrt(v0 * v0 + v1 * v1 + v2 * v2)
+    dot = v0 * p0[:, None] + v1 * p1[:, None] + v2 * p2[:, None]
     d_signed = d_x_p * geometry.sign(dot)
     w = w_x_p(cfg, d_x_p, z[:, None])  # unsigned distance — reference quirk
     w = jnp.where(live, w, 0.0)
-    return x, live, d_signed, w, pos_p, z
+    return ((x0, x1, x2), live, d_signed, w, (e0, e1, e2), z)
+
+
+def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
+    """Stacked-array wrapper over :func:`_march_lattice_c` (tests/tools)."""
+    (x0, x1, x2), live, ds, w, (e0, e1, e2), z = _march_lattice_c(cfg, bins,
+                                                                  T)
+    x = jnp.stack([x0, x1, x2], axis=-1)
+    pos_p = jnp.stack([e0, e1, e2], axis=-1)
+    return x, live, ds, w, pos_p, z
 
 
 def _use_pallas_accum(cfg: TSDFConfig) -> bool:
@@ -256,23 +296,29 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
               T, active_submap):
     """Fuse one frame of (already rotated, sensor-centric) points.
 
-    ``bins_pts`` = R @ p_cam for each input point; ``T`` is the sensor
-    position in the (submap) map frame; the caller performs the world→submap
-    conversion exactly as ``BaseMap.set_pose`` does.
-    Returns (state, stats dict).
+    ``bins_pts`` = (px, py, pz) component arrays of R @ p_cam for each input
+    point; ``T`` is the sensor position in the (submap) map frame; the
+    caller performs the world→submap conversion exactly as
+    ``BaseMap.set_pose`` does. Returns (state, stats dict).
     """
-    bins = bin_points(cfg, bins_pts, z, color, valid)
-    x, live, d_signed, w, pos_p, zb = _march_lattice(cfg, bins, T)
+    bins = bin_points_c(cfg, bins_pts[0], bins_pts[1], bins_pts[2], z,
+                        color, valid)
+    (x0, x1, x2), live, d_signed, w, (e0, e1, e2), zb = \
+        _march_lattice_c(cfg, bins, T)
     spec = cfg.grid
 
-    # voxel coords for all marched samples + bin endpoints
-    xi = geometry.xyz_to_ijk(x, cfg.voxel_scale)            # (B, S, 3)
-    ei = geometry.xyz_to_ijk(pos_p, cfg.voxel_scale)        # (B, 3)
-
-    s_m = jnp.broadcast_to(active_submap, xi.shape[:-1])
-    blin_m, intra_m, inb_m = voxel_to_block(spec, s_m, xi)
-    s_e = jnp.broadcast_to(active_submap, ei.shape[:-1])
-    blin_e, intra_e, inb_e = voxel_to_block(spec, s_e, ei)
+    # voxel coords for all marched samples + bin endpoints (components —
+    # stacked (..., 3) arrays pad the minor dim 3 -> 128 lanes on TPU)
+    rha = geometry.round_half_away
+    inv_v = 1.0 / cfg.voxel_scale
+    blin_m, intra_m, inb_m = voxel_to_block_c(
+        spec, active_submap, rha(x0 * inv_v).astype(jnp.int32),
+        rha(x1 * inv_v).astype(jnp.int32),
+        rha(x2 * inv_v).astype(jnp.int32))
+    blin_e, intra_e, inb_e = voxel_to_block_c(
+        spec, active_submap, rha(e0 * inv_v).astype(jnp.int32),
+        rha(e1 * inv_v).astype(jnp.int32),
+        rha(e2 * inv_v).astype(jnp.int32))
 
     if _use_pallas_accum(cfg):
         # marched blocks are allocated from the kernel's compact touched
@@ -375,7 +421,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     if cfg.texture_enabled:
         c = jnp.maximum(bins.count, 1.0)
         bin_rgb = bins.sum_color / c[:, None] / 255.0  # dense_tsdf.py:268-269
-        rgb_m = jnp.broadcast_to(bin_rgb[:, None, :], x.shape).reshape(-1, 3)
+        rgb_m = jnp.broadcast_to(bin_rgb[:, None, :],
+                                 live.shape + (3,)).reshape(-1, 3)
         # masked lanes already point at the garbage voxel, so a plain
         # scatter-set is safe (the garbage row is zeroed below)
         col = ch["color"].reshape(nvox, 3)
@@ -397,9 +444,15 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
 def integrate_depth(cfg: TSDFConfig, state: GridState, depth_mm, texture,
                     R, T, K_dep, K_color, active_submap):
     """recast_depth_to_map equivalent (dense_tsdf.py:162-165, 188-214)."""
-    pts, dep, color, valid = depth_to_points(cfg, depth_mm, texture, K_dep, K_color)
-    pts_map = geometry.rotate_points(R, pts)
-    return integrate(cfg, state, pts_map, dep, color, valid, T, active_submap)
+    pts, dep, color, valid = depth_to_points(cfg, depth_mm, texture, K_dep,
+                                             K_color)
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    # rotate componentwise (a stacked (P, 3) matmul pads 3 -> 128 lanes)
+    m0 = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz
+    m1 = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz
+    m2 = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz
+    return integrate(cfg, state, (m0, m1, m2), dep, color, valid, T,
+                     active_submap)
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -408,10 +461,14 @@ def integrate_pcl(cfg: TSDFConfig, state: GridState, xyz, rgb, R, T,
     """recast_pcl_to_map equivalent (dense_tsdf.py:157-186): points are
     rotated only; gating is ``|R @ p| < max_ray_length``; z = |R @ p|."""
     pts, color = pcl_to_points(cfg, xyz, rgb)
-    pts_map = geometry.rotate_points(R, pts)
-    z = jnp.linalg.norm(pts_map, axis=-1)
+    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    m0 = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz
+    m1 = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz
+    m2 = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz
+    z = jnp.sqrt(m0 * m0 + m1 * m1 + m2 * m2)
     valid = z < cfg.max_ray_length
-    return integrate(cfg, state, pts_map, z, color, valid, T, active_submap)
+    return integrate(cfg, state, (m0, m1, m2), z, color, valid, T,
+                     active_submap)
 
 
 # ---------------------------------------------------------------------------

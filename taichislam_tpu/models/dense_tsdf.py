@@ -21,7 +21,7 @@ from taichislam_tpu.ops import fusion as fusion_ops
 from taichislam_tpu.ops import tsdf as tsdf_ops
 
 
-def bin_bucket_for(n: int, headroom_num=11, headroom_den=10) -> int:
+def bin_bucket_for(n: int, headroom_num=21, headroom_den=20) -> int:
     """Smallest {1, 1.25, 1.5}·2^k bucket ≥ n·headroom (fusion lane count
     scales with the bucket, so granularity matters)."""
     want = max(n * headroom_num // headroom_den, 1)

@@ -101,9 +101,12 @@ def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
     Returns (pts_cam (P,3), z (P,), color (P,3) or None, valid (P,)).
     """
     h, w = depth_mm.shape
-    jj, ii = geometry.pixel_grid(h, w, cfg.recast_step)
+    step = cfg.recast_step
+    jj, ii = geometry.pixel_grid(h, w, step)
     jj, ii = jj.reshape(-1), ii.reshape(-1)
-    d_mm = depth_mm[jj, ii].astype(jnp.float32)
+    # strided slicing instead of a gather (TPU gathers cost ~7 ns/element)
+    d_mm = depth_mm[:(h // step) * step:step,
+                    :(w // step) * step:step].reshape(-1).astype(jnp.float32)
     valid = (d_mm != 0) & (d_mm <= cfg.max_ray_length * 1000.0) & (
         d_mm >= cfg.min_ray_length * 1000.0)
     dep = d_mm / 1000.0
@@ -111,7 +114,9 @@ def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
     color = None
     if cfg.texture_enabled:
         if cfg.color_same_proj:
-            color = texture[jj, ii, :].astype(jnp.float32)
+            color = texture[:(h // step) * step:step,
+                            :(w // step) * step:step, :].reshape(
+                -1, 3).astype(jnp.float32)
         else:
             th, tw = texture.shape[0], texture.shape[1]
             cj, ci = geometry.color_ind_from_depth_pt(

@@ -69,21 +69,49 @@ def main():
     cfg = dataclasses.replace(
         cfg, max_bins=min(bin_bucket_for(n_bins), cfg.max_bins))
 
-    def one_frame(state, inputs):
-        depth, R, T = inputs
-        state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
-                                            K, K, jnp.int32(0))
-        return state, ()
+    def make_run(cfg):
+        def one_frame(state, inputs):
+            depth, R, T = inputs
+            state, stats = tsdf_ops.integrate_depth(cfg, state, depth,
+                                                    texture, R, T, K, K,
+                                                    jnp.int32(0))
+            dropped = stats["alloc_overflow"] + stats["touched_dropped"]
+            total_bins = stats["num_bins"] + stats["bins_dropped"]
+            return state, (dropped, total_bins)
 
-    @jax.jit
-    def run_all(state, frames, Rs, Ts):
-        state, _ = jax.lax.scan(one_frame, state, (frames, Rs, Ts))
-        # scalar readback closes the timing
-        return state, jnp.sum(state.channels["TSDF"].astype(jnp.float32))
+        @jax.jit
+        def run_all(state, frames, Rs, Ts):
+            state, (dropped, total_bins) = jax.lax.scan(
+                one_frame, state, (frames, Rs, Ts))
+            # scalar readback closes the timing; drop stats guard honesty
+            return (state,
+                    jnp.sum(state.channels["TSDF"].astype(jnp.float32)),
+                    jnp.max(dropped), jnp.max(total_bins))
+        return run_all
 
-    # warmup/compile
-    _, s0 = run_all(state, frames_j, Rs_j, Ts_j)
+    # warmup/compile; size the bucket to the worst frame so no ray is
+    # silently capacity-dropped during the timed runs
+    run_all = make_run(cfg)
+    _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j, Ts_j)
     float(s0)
+    for _ in range(4):
+        want = bin_bucket_for(int(max_bins))
+        if int(dropped) == 0 and want <= cfg.max_bins:
+            if want < cfg.max_bins:
+                cfg = dataclasses.replace(cfg, max_bins=want)
+                run_all = make_run(cfg)
+                _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j,
+                                                   Ts_j)
+                float(s0)
+            break
+        cfg = dataclasses.replace(
+            cfg, max_bins=max(want, cfg.max_bins),
+            max_touched_blocks=(cfg.max_touched_blocks * 2
+                                if int(dropped) > 0
+                                else cfg.max_touched_blocks))
+        run_all = make_run(cfg)
+        _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j, Ts_j)
+        float(s0)
 
     # RPC latency baseline
     tiny = jax.jit(lambda x: jnp.sum(x))
@@ -99,7 +127,7 @@ def main():
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        _, sval = run_all(state, frames_j, Rs_j, Ts_j)
+        _, sval, _, _ = run_all(state, frames_j, Rs_j, Ts_j)
         float(sval)
         best = min(best, time.perf_counter() - t0)
     per_frame = max(best - lat, 1e-9) / n_frames

@@ -30,11 +30,29 @@ class MarchingCubeMesher:
         self.mesh_indices = None
 
     def generate_mesh(self, step=1):
-        out = mc_ops.extract_mesh(
-            self.mapping.cfg, self.max_triangles, int(step),
-            self.surface_block_cap, self.mapping.state,
-            jnp.int32(self.mapping.active_submap_id),
-            jnp.float32(self.tsdf_surface_thres))
+        # op cost scales with the static caps, so bucket them to the actual
+        # map (powers of two bound recompiles): the block cap to the
+        # allocated block count (blocks with surface cells are a subset, so
+        # nothing drops), the triangle cap grown on overflow and remembered
+        nblocks = int(self.mapping.state.num_blocks) + 1
+        cap = 64
+        while cap < nblocks:
+            cap *= 2
+        cap = min(cap, self.surface_block_cap)
+        mt = min(getattr(self, "_mt_bucket", 1 << 14), self.max_triangles)
+        while True:
+            out = mc_ops.extract_mesh(
+                self.mapping.cfg, mt, int(step), cap, self.mapping.state,
+                jnp.int32(self.mapping.active_submap_id),
+                jnp.float32(self.tsdf_surface_thres))
+            total = int(out["total_triangles"])
+            if total > mt and mt < self.max_triangles:
+                while mt < min(total, self.max_triangles):
+                    mt *= 2
+                mt = min(mt, self.max_triangles)
+                continue
+            break
+        self._mt_bucket = mt
         if int(out["surface_blocks_dropped"]) > 0:
             print(f"[Mesher] surface block cap hit: "
                   f"{int(out['surface_blocks_dropped'])} dropped")

@@ -66,17 +66,25 @@ def neighbor_slot_table(spec, state, active_submap):
     return lookup_slots(spec, state.table, blin)
 
 
-def assemble_halo(tiles, nslots, V, fill):
-    """Build (nb, V+2, V+2, V+2) halos for all blocks.
+def assemble_halo(tiles, nslots, V, fill, center=None):
+    """Build (n, V+2, V+2, V+2) halos for ``n = nslots.shape[0]`` blocks.
 
     ``tiles`` is (nb, V, V, V) with the garbage row holding ``fill``;
-    ``nslots`` the (nb, 3, 3, 3) neighbor slot table. The 26 boundary slabs
-    are fetched with per-block slice gathers (efficient on TPU: large
-    constant-size slices per index).
+    ``nslots`` the (n, 3, 3, 3) neighbor slot table (slot indices into
+    ``tiles``). The 26 boundary slabs are fetched with per-block slice
+    gathers (efficient on TPU: large constant-size slices per index).
+
+    With the default ``center=None``, ``nslots`` indexes the same rows as
+    ``tiles`` (n == nb) and the halo interiors come from ``tiles``. For a
+    *compacted* working set, pass ``center`` as the (n, V, V, V) gathered
+    interiors while ``tiles``/``nslots`` stay full-size — halo cost then
+    scales with the working set, not the allocated grid.
     """
-    nb = tiles.shape[0]
-    halo = jnp.full((nb, V + 2, V + 2, V + 2), fill, tiles.dtype)
-    halo = halo.at[:, 1:V + 1, 1:V + 1, 1:V + 1].set(tiles)
+    if center is None:
+        center = tiles
+    n = center.shape[0]
+    halo = jnp.full((n, V + 2, V + 2, V + 2), fill, tiles.dtype)
+    halo = halo.at[:, 1:V + 1, 1:V + 1, 1:V + 1].set(center)
 
     def src_slice(s):
         # neighbor-local source plane(s) feeding our halo on side s

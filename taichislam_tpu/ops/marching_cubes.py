@@ -191,25 +191,38 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
 
     # ---- corner sampling --------------------------------------------------
     if step == 1:
-        nslots = neighbor_slot_table(spec, state, active_submap)
+        # halos are assembled directly into the compacted working set:
+        # neighbor slabs are slice-gathered from the FULL channel arrays
+        # (surface blocks border non-surface blocks whose values still feed
+        # corner samples), but the (V+2)³ halo buffers are cap-sized — halo
+        # cost scales with the surface, not the allocated grid
+        nslots_full = neighbor_slot_table(spec, state, active_submap)
+        nsl = jnp.take(nslots_full, slot_of, axis=0)          # (cap, 3,3,3)
+        nsl = jnp.where(bvalid[:, None, None, None], nsl, nb - 1)
+
+        def gtile(arr, fill):
+            out = jnp.take(arr, slot_of, axis=0)
+            return jnp.where(bvalid[:, None, None, None], out, fill)
+
         # unobserved/missing neighbors read TSDF 0 / observed 0 — the
         # reference's inactive-SNode semantics
-        tsdf_halo_all = assemble_halo(
-            jnp.where(obs_t, tsdf_t, 0.0).at[-1].set(0.0), nslots, V, 0.0)
-        obs_halo_all = assemble_halo(
-            obs_t.at[-1].set(False), nslots, V, False)
-        th = jnp.take(tsdf_halo_all, slot_of, axis=0)         # (cap, V+2,..)
-        oh = jnp.take(obs_halo_all, slot_of, axis=0)
+        tsdf_src = jnp.where(obs_t, tsdf_t, 0.0).at[-1].set(0.0)
+        obs_src = obs_t.at[-1].set(False)
+        th = assemble_halo(tsdf_src, nsl, V, 0.0,
+                           center=gtile(tsdf_src, 0.0))       # (cap, V+2,..)
+        oh = assemble_halo(obs_src, nsl, V, False,
+                           center=gtile(obs_src, False))
         cv = _corner_values_halo(th, V).reshape(cap, -1, 8)   # (cap, V³, 8)
         cobs = _corner_values_halo(oh, V).reshape(cap, -1, 8)
         if cfg.texture_enabled:
             col_t = state.channels["color"].astype(jnp.float32)
-            col_halos = [assemble_halo(col_t[..., c].at[-1].set(0.0),
-                                       nslots, V, 0.0) for c in range(3)]
             ccol = jnp.stack(
-                [_corner_values_halo(jnp.take(h, slot_of, axis=0),
-                                     V).reshape(cap, -1, 8)
-                 for h in col_halos], axis=-1)                 # (cap,V³,8,3)
+                [_corner_values_halo(
+                    assemble_halo(src, nsl, V, 0.0,
+                                  center=gtile(src, 0.0)),
+                    V).reshape(cap, -1, 8)
+                 for src in (col_t[..., c].at[-1].set(0.0)
+                             for c in range(3))], axis=-1)     # (cap,V³,8,3)
     else:
         cell_ijk_c = origin_c[:, None, :] + _intra_np(V)[None]
         corners = cell_ijk_c[:, :, None, :] + \
@@ -224,28 +237,57 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
     anchor_c = jnp.take(anchor.reshape(nb, -1), slot_of, axis=0)  # (cap, V³)
     cell_ok = anchor_c & bvalid[:, None] & jnp.all(cobs, axis=-1)
 
-    # ---- phase A: per-tet cases ------------------------------------------
+    # ---- phase A: per-cell triangle counts ---------------------------------
+    # Everything here stays 1-D (C,): materializing (C, 6) / (C, 6, 2) s32
+    # intermediates OOMs on TPU — tile padding blows the tiny minor dims up
+    # to 128 lanes (85x expansion, 16 GB at surface_block_cap=1024). The
+    # per-tet structure is recovered below for the kept triangles only.
     C = cap * spec.voxels_per_block
     inside = (cv < 0.0).reshape(C, 8)
-    tet_bits = inside[:, TETS]                                   # (C, 6, 4)
-    case = jnp.sum(tet_bits.astype(jnp.int32) *
-                   jnp.asarray([1, 2, 4, 8])[None, None, :], axis=-1)
-    ntris = jnp.where(cell_ok.reshape(C)[:, None],
-                      nt_tab[jnp.arange(6)[None, :], case], 0)   # (C, 6)
+    pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
 
-    emit = jnp.arange(2)[None, None, :] < ntris[:, :, None]      # (C, 6, 2)
-    pos, kept, total = compact_mask(emit.reshape(-1), max_triangles)
+    def tet_case(ins, t):
+        return jnp.sum(ins[:, TETS[t]].astype(jnp.int32) * pow2[None, :],
+                       axis=-1)
 
-    lin = jnp.arange(C * 6 * 2, dtype=jnp.int32)
-    desc = jnp.full((max_triangles + 1,), 0, jnp.int32).at[pos].set(
-        lin, mode="drop")[:max_triangles]
+    tcount = jnp.zeros((C,), jnp.int32)
+    for t in range(6):
+        tcount = tcount + nt_tab[t][tet_case(inside, t)]
+    tcount = jnp.where(cell_ok.reshape(C), tcount, 0)
+
+    # two-level compaction: exclusive prefix sum gives each cell its output
+    # base; scatter-max + cummax recovers the owning cell per output slot
+    # (cell-major order, matching the reference's append order up to the
+    # atomic nondeterminism it has and we don't)
+    cbase = jnp.cumsum(tcount) - tcount
+    total = cbase[-1] + tcount[-1]
+    kept = jnp.minimum(total, max_triangles)
     tri_valid = jnp.arange(max_triangles) < kept
 
+    tgt = jnp.where((tcount > 0) & (cbase < max_triangles), cbase,
+                    max_triangles)
+    seed = jnp.zeros((max_triangles + 1,), jnp.int32).at[tgt].max(
+        jnp.arange(C, dtype=jnp.int32), mode="drop")[:max_triangles]
+    cell_i = jax.lax.cummax(seed)                                # (T,)
+    local = jnp.arange(max_triangles, dtype=jnp.int32) - cbase[cell_i]
+
     # ---- phase B: build kept triangles ------------------------------------
-    cell_i = desc // 12
-    tet_i = (desc // 2) % 6
-    tri_i = desc % 2
-    k_case = case[cell_i, tet_i]
+    # walk the 6 tets of each kept cell to locate triangle ``local`` —
+    # (T,)-sized work, statically unrolled
+    vals = cv.reshape(C, 8)[cell_i]                              # (T, 8)
+    insideK = vals < 0.0
+    ccum = jnp.zeros_like(local)
+    tet_i = jnp.zeros_like(local)
+    tri_i = jnp.zeros_like(local)
+    k_case = jnp.zeros_like(local)
+    for t in range(6):
+        case_t = tet_case(insideK, t)
+        nt_t = nt_tab[t][case_t]
+        in_t = (local >= ccum) & (local < ccum + nt_t)
+        tet_i = jnp.where(in_t, t, tet_i)
+        tri_i = jnp.where(in_t, local - ccum, tri_i)
+        k_case = jnp.where(in_t, case_t, k_case)
+        ccum = ccum + nt_t
     e = edge_tab[tet_i, k_case, tri_i]                           # (T, 3, 2)
 
     cell_block = cell_i // spec.voxels_per_block
@@ -254,7 +296,6 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
             _intra_np(V)[cell_intra]).astype(jnp.float32)        # (T, 3)
     cpos = base[:, None, None, :] + \
         jnp.asarray(CUBE_CORNERS, jnp.float32)[e] * step         # (T, 3, 2, 3)
-    vals = cv.reshape(C, 8)[cell_i]                              # (T, 8)
     v0 = jnp.take_along_axis(vals, e[:, :, 0], axis=1)           # (T, 3)
     v1 = jnp.take_along_axis(vals, e[:, :, 1], axis=1)
     vpos, mu = _vertex_interp(cpos[:, :, 0], cpos[:, :, 1], v0, v1)

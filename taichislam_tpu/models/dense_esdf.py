@@ -21,11 +21,16 @@ from taichislam_tpu.ops import esdf as esdf_ops
 
 class DenseESDF(DenseTSDF):
     def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64,
-                 esdf_block_cap=None, **kwargs):
+                 esdf_block_cap=None, esdf_incremental=True, **kwargs):
         super().__init__(*args, **kwargs)
         self.enable_esdf = enable_esdf
         self.max_esdf_sweeps = max_esdf_sweeps
         self.esdf_block_cap = esdf_block_cap or min(2048, self.cfg.max_blocks)
+        self.esdf_incremental = esdf_incremental
+        # blocks whose values changed last update: wavefronts that reached
+        # the working-set edge continue propagating from here next frame
+        self._esdf_pending = None
+        self._esdf_cap_bucket = 64
         spec = self.cfg.grid
         shape = (spec.max_blocks + 1, spec.V, spec.V, spec.V)
         self.esdf = jnp.zeros(shape, jnp.float32)
@@ -51,15 +56,39 @@ class DenseESDF(DenseTSDF):
         # sweep cost scales with the compacted working set: bucket the cap
         # to the allocated block count (power-of-two to bound recompiles)
         nblocks = int(self.state.num_blocks) + 1
-        cap = 128
-        while cap < nblocks:
-            cap *= 2
-        cap = min(cap, self.esdf_block_cap)
-        self.esdf, self.esdf_fixed, self.esdf_observed, sweeps = \
-            esdf_ops.esdf_update(self.cfg, self.max_esdf_sweeps,
-                                 cap, self.state,
-                                 self.esdf, self.esdf_fixed,
-                                 jnp.int32(self.active_submap_id))
+        full_cap = 128
+        while full_cap < nblocks:
+            full_cap *= 2
+        full_cap = min(full_cap, self.esdf_block_cap)
+
+        # incremental mode: restrict sweeps to frame-touched blocks plus
+        # last update's still-propagating wavefront; anything else keeps
+        # its warm value. Falls back to a full update when the last map
+        # change didn't report a touched bitmap (e.g. submap fusion).
+        dirty = None
+        if self.esdf_incremental:
+            touched = self.last_stats.get("touched_blocks")
+            if touched is not None:
+                dirty = touched
+                if self._esdf_pending is not None:
+                    dirty = dirty | self._esdf_pending
+        cap = self._esdf_cap_bucket if dirty is not None else full_cap
+        while True:
+            cap = min(cap, full_cap)
+            (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
+             changed, overflow) = esdf_ops.esdf_update(
+                self.cfg, self.max_esdf_sweeps, cap, self.state,
+                self.esdf, self.esdf_fixed,
+                jnp.int32(self.active_submap_id), dirty)
+            if int(overflow) > 0 and cap < full_cap:
+                need = cap + int(overflow)
+                while cap < need:
+                    cap *= 2
+                continue
+            break
+        if dirty is not None:
+            self._esdf_cap_bucket = cap
+        self._esdf_pending = changed
         self.last_esdf_sweeps = int(sweeps)
 
     # -- exports -------------------------------------------------------------

@@ -27,6 +27,17 @@ TPU-native formulation (all static shapes, no queues, no atomics):
   handful of fused elementwise passes instead of 26 materialized windows.
 - warm starts: previous ESDF values are kept where still valid, so per-frame
   incremental updates converge in a few sweeps inside the ``lax.while_loop``.
+  Known approximation: a warm value is only reset when its own seed changes
+  (sign flip or fixed-band exit), so when a surface moves *away*, downstream
+  voxels whose distance should *rise* keep their stale-low value until their
+  own block is re-observed (the role of voxblox's raise queue). Measured on
+  a moving-surface scene: <0.3% of voxels, bounded by the local surface
+  displacement; a from-scratch ``esdf_update(prev=zeros)`` clears it.
+- dirty-block working sets (``dirty_blocks`` arg): per-frame updates sweep
+  only the 26-dilation of frame-touched blocks; wavefronts that reach the
+  working-set edge re-queue via the returned ``changed_blocks`` bitmap and
+  continue next frame — identical fixed point to a full warm sweep
+  (property-tested), at working-set cost.
 """
 
 from __future__ import annotations
@@ -148,7 +159,7 @@ def neighborhood_extrema(halo, op):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
-                prev_esdf, prev_fixed, active_submap):
+                prev_esdf, prev_fixed, active_submap, dirty_blocks=None):
     """Compute the ESDF over the active submap's observed voxels.
 
     The sweep runs on a **compacted participating-block working set**
@@ -157,10 +168,23 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     index space, and results scattered back — so per-sweep cost scales with
     the observed region, not the allocated grid.
 
+    With ``dirty_blocks`` (a (max_blocks+1,) per-slot bool bitmap, e.g.
+    integrate's ``touched_blocks`` stat), the working set shrinks to the
+    26-dilation of the dirty blocks — the per-frame incremental mode. Warm
+    values elsewhere are carried through unchanged. Wavefronts that reach
+    the working-set edge are reported in the returned ``changed_blocks``
+    bitmap; feeding it into the next call's ``dirty_blocks`` continues the
+    propagation, amortizing long-range updates across frames (the role of
+    voxblox's raise/lower queues, dense_esdf.py:228-333, with static
+    shapes and no atomics).
+
     Args:
         prev_esdf: (max_blocks+1, V, V, V) previous ESDF (zeros on first call)
         prev_fixed: same-shaped int8 previous fixed flags
-    Returns (esdf, fixed, observed_mask, sweeps_run) — all full-size.
+    Returns (esdf, fixed, observed_mask, sweeps_run, changed_blocks,
+    block_cap_overflow) — arrays full-size. A nonzero overflow means the
+    working set exceeded ``block_cap`` and the caller should redo with a
+    larger cap (dropped blocks kept their previous values).
     """
     from taichislam_tpu.core.compaction import compact_mask
 
@@ -179,8 +203,22 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     blk = blk.at[-1].set(False)
     participate_full = obs_full & blk[:, None, None, None]
 
-    # ---- compact the participating blocks ---------------------------------
-    bpos, bkept, btotal = compact_mask(blk, block_cap)
+    nslots_full = neighbor_slot_table(spec, state, active_submap)  # (nb,3,3,3)
+
+    if dirty_blocks is None:
+        work_blk = blk
+    else:
+        # 26-dilation: a block is in the working set if any of its 27
+        # neighborhood slots is dirty (changes propagate 1 voxel/sweep, so
+        # with sweeps <= V they stay inside the dilation; anything that
+        # reaches the edge is re-queued via changed_blocks)
+        dirty = dirty_blocks.at[-1].set(False)
+        dil = jnp.any(jnp.take(dirty, nslots_full.reshape(nb, 27), axis=0),
+                      axis=1) | dirty
+        work_blk = blk & dil
+
+    # ---- compact the working-set blocks -----------------------------------
+    bpos, bkept, btotal = compact_mask(work_blk, block_cap)
     slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
         jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
     bvalid = jnp.arange(block_cap) < bkept
@@ -215,7 +253,6 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
     # neighbor slots in compact space
-    nslots_full = neighbor_slot_table(spec, state, active_submap)  # (nb,3,3,3)
     nslots = jnp.take(inv, jnp.take(nslots_full, slot_of, axis=0), axis=0)
     nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
     # pad a garbage row so nslots matches the (cap+1)-row tile arrays
@@ -249,13 +286,25 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     esdf_c, _, sweeps = jax.lax.while_loop(
         cond, body, (esdf0, jnp.bool_(True), jnp.int32(0)))
 
-    # scatter results back to full-size arrays
+    # scatter results back to full-size arrays; blocks outside the working
+    # set carry their previous values through (they were not recomputed)
     tgt = jnp.where(bvalid, slot_of, nb)
-    esdf = jnp.zeros((nb, V, V, V), jnp.float32).at[tgt].set(
+    esdf = jnp.where(participate_full, prev_esdf, 0.0).at[tgt].set(
         esdf_c[:block_cap], mode="drop")
-    fixed_full = jnp.zeros((nb, V, V, V), jnp.int8).at[tgt].set(
+    fixed_full = jnp.where(participate_full, prev_fixed,
+                           0).astype(jnp.int8).at[tgt].set(
         fixed[:block_cap].astype(jnp.int8), mode="drop")
-    return esdf, fixed_full, participate_full, sweeps
+
+    # blocks whose final values differ from what out-of-set neighbors last
+    # saw: re-queue them (and, via next call's dilation, their neighbors)
+    row_changed = jnp.any(
+        (jnp.abs(esdf_c - prev_e) > 1e-6) | (fixed != (prev_f > 0)),
+        axis=(1, 2, 3))
+    changed_blocks = jnp.zeros((nb,), bool).at[tgt].set(
+        row_changed[:block_cap], mode="drop").at[-1].set(False)
+    overflow = jnp.maximum(btotal - block_cap, 0)
+    return esdf, fixed_full, participate_full, sweeps, changed_blocks, \
+        overflow
 
 
 @partial(jax.jit, static_argnums=(0, 1))

@@ -388,6 +388,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
         ch["TSDF_observed"] = ch["TSDF_observed"].reshape(-1, V3).at[tgt].set(
             jnp.maximum(obs_rows, touched_v.astype(jnp.int8)),
             mode="drop").reshape(ch["TSDF_observed"].shape)
+        touched_blocks = jnp.zeros((spec.max_blocks + 1,), bool).at[tgt].max(
+            jnp.any(touched_v, axis=1), mode="drop").at[-1].set(False)
     else:
         slots_m = lookup_slots(spec, state.table, blin_m.reshape(-1))
         flat_m = flat_voxel_index(spec, slots_m, intra_m.reshape(-1))
@@ -415,6 +417,9 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
         obs = ch["TSDF_observed"].reshape(nvox)
         ch["TSDF_observed"] = jnp.maximum(
             obs, touched.astype(jnp.int8)).reshape(ch["TSDF_observed"].shape)
+        touched_blocks = jnp.any(
+            touched.reshape(-1, spec.voxels_per_block),
+            axis=1).at[-1].set(False)
 
     # endpoint occupancy (dense_tsdf.py:248)
     slots_e = lookup_slots(spec, state.table, blin_e)
@@ -441,7 +446,10 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     stats = {"bins_dropped": bins.dropped,
              "num_bins": jnp.sum(bins.valid.astype(jnp.int32)),
              "alloc_overflow": state.alloc_overflow,
-             "touched_dropped": touched_dropped}
+             "touched_dropped": touched_dropped,
+             # per-slot bitmap of blocks whose TSDF changed this frame —
+             # feeds the incremental ESDF's dirty-block working set
+             "touched_blocks": touched_blocks}
     return state._replace(channels=ch), stats
 
 

@@ -38,40 +38,54 @@ def main():
     texture = jnp.zeros((1, 1, 3), jnp.uint8)
     R = jnp.eye(3, dtype=jnp.float32)
     T = jnp.zeros(3, jnp.float32)
-    state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T, K,
-                                        K, jnp.int32(0))
+    # sweep the camera sideways so the map is much larger than one frustum
+    # (the regime per-frame incremental ESDF exists for)
+    for k in range(10):
+        Tk = jnp.asarray([0.0, 0.8 * k, 0.0], jnp.float32)
+        state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R,
+                                            Tk, K, K, jnp.int32(0))
     print(f"map blocks: {int(state.num_blocks)}", flush=True)
 
-    # fusion + per-frame incremental ESDF (warm)
-    CAP = 128
     shape = (cfg.grid.max_blocks + 1,) + (16,) * 3
-    esdf0, fixed0, _, sweeps = esdf_ops.esdf_update(
-        cfg, 96, CAP, state, jnp.zeros(shape, jnp.float32),
+    FULL_CAP = 512
+    esdf0, fixed0, _, sweeps, _, _ = esdf_ops.esdf_update(
+        cfg, 96, FULL_CAP, state, jnp.zeros(shape, jnp.float32),
         jnp.zeros(shape, jnp.int8), jnp.int32(0))
     print(f"cold ESDF sweeps: {int(sweeps)}", flush=True)
 
-    def fused_frame(depth, R, T):
-        st, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
-                                         K, K, jnp.int32(0))
-        e, f, p, s = esdf_ops.esdf_update(cfg, 8, CAP, st, esdf0, fixed0,
-                                          jnp.int32(0))
-        return e
+    # fusion + per-frame ESDF: full-warm working set vs dirty-block set
+    def make_fused(cap, use_dirty):
+        def fused_frame(depth, R, T):
+            st, stats = tsdf_ops.integrate_depth(cfg, state, depth, texture,
+                                                 R, T, K, K, jnp.int32(0))
+            dirty = stats["touched_blocks"] if use_dirty else None
+            e, f, p, s, ch, ov = esdf_ops.esdf_update(
+                cfg, 8, cap, st, esdf0, fixed0, jnp.int32(0), dirty)
+            return e
+        return fused_frame
 
-    ms = timed(fused_frame, (depth, R, T), perturb_idx=1, k_lo=2, k_hi=6)
-    print(f"fusion + warm incremental ESDF: {ms:.2f} ms/frame "
-          f"({1000.0/ms:.1f} fps)", flush=True)
+    for label, cap, use_dirty in (("full-warm", FULL_CAP, False),
+                                  ("dirty-block", 128, True)):
+        ms = timed(make_fused(cap, use_dirty), (depth, R, T), perturb_idx=1,
+                   k_lo=2, k_hi=6)
+        print(f"fusion + warm ESDF [{label}, cap={cap}]: {ms:.2f} ms/frame "
+              f"({1000.0/ms:.1f} fps)", flush=True)
 
-    # marching cubes over the full map
+    # marching cubes over the full map (cap bucketed as the model does)
+    cap = 64
+    while cap < int(state.num_blocks) + 1:
+        cap *= 2
+
     def mesh(thres, R):
-        out = mc_ops.extract_mesh(cfg, 1 << 17, 1, 1024, state,
+        out = mc_ops.extract_mesh(cfg, 1 << 17, 1, cap, state,
                                   jnp.int32(0), thres + 0 * R[0, 0])
         return out["vertices"]
 
     ms = timed(mesh, (jnp.float32(0.1), R), perturb_idx=1, k_lo=1, k_hi=4)
-    out = mc_ops.extract_mesh(cfg, 1 << 17, 1, 1024, state, jnp.int32(0),
+    out = mc_ops.extract_mesh(cfg, 1 << 17, 1, cap, state, jnp.int32(0),
                               jnp.float32(0.1))
-    print(f"marching cubes (full map, {int(out['num_triangles'])} "
-          f"triangles): {ms:.2f} ms", flush=True)
+    print(f"marching cubes (full map, cap={cap}, "
+          f"{int(out['num_triangles'])} triangles): {ms:.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

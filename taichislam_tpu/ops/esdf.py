@@ -154,6 +154,111 @@ def neighborhood_extrema(halo, op):
 
 
 # ---------------------------------------------------------------------------
+# sweep-layout machinery (lane-fused halos)
+#
+# TPU tiles pad the two minor dims to (8, 128): a (n, 18, 18, 18) halo or a
+# (n, 16, 16, 1) boundary slab expands 7-9x in HBM, and the 26-direction
+# slab assembly above (fine for one-shot consumers like marching cubes)
+# costs ~3.6 ms per call at cap=512 inside the sweep loop. The sweep
+# therefore runs in a fused layout (n, J=18, L=324) with sublanes = j and
+# lanes l = i*18 + k: lane padding is 324->384 (1.2x), i-steps are exact
+# +-18 lane shifts, k-steps are +-1 lane shifts (cross-i bleed lands only
+# on cropped halo positions), j-steps are sublane shifts. Halo exchange
+# collapses to 6 axis passes (i slabs: contiguous 18-lane groups; j slabs:
+# single sublane rows; k slabs: masked 16-lane shifts), with diagonal
+# blocks picked up for free because each pass gathers from arrays whose
+# earlier-axis shells are already filled (standard axis-sequential halo
+# exchange).
+# ---------------------------------------------------------------------------
+
+def _to_sweep_layout(tiles4, fill):
+    """(n, V, V, V) [i,j,k] -> (n, V+2, (V+2)**2) [j | i*18+k] with ``fill``
+    in the halo positions."""
+    n, V = tiles4.shape[0], tiles4.shape[1]
+    t = jnp.transpose(tiles4, (0, 2, 1, 3))            # (n, j, i, k)
+    t = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (1, 1)), constant_values=fill)
+    return t.reshape(n, V + 2, (V + 2) * (V + 2))
+
+
+def _from_sweep_layout(H, V):
+    n = H.shape[0]
+    t = H.reshape(n, V + 2, V + 2, V + 2)[:, 1:V + 1, 1:V + 1, 1:V + 1]
+    return jnp.transpose(t, (0, 2, 1, 3))              # back to (n, i, j, k)
+
+
+def _lshift(h, s, fill):
+    """h shifted by ``s`` along lanes: out[..., l] = h[..., l+s]."""
+    if s == 0:
+        return h
+    pad = jnp.full(h.shape[:-1] + (abs(s),), fill, h.dtype)
+    if s > 0:
+        return jnp.concatenate([h[..., s:], pad], axis=-1)
+    return jnp.concatenate([pad, h[..., :s]], axis=-1)
+
+
+def _jshift(h, s, fill):
+    """h shifted by ``s`` along the sublane (j) dim."""
+    if s == 0:
+        return h
+    pad = jnp.full((h.shape[0], abs(s), h.shape[2]), fill, h.dtype)
+    if s > 0:
+        return jnp.concatenate([h[:, s:, :], pad], axis=1)
+    return jnp.concatenate([pad, h[:, :s, :]], axis=1)
+
+
+@functools.lru_cache(maxsize=8)
+def _k_edge_masks_np(V):
+    k = np.arange((V + 2) * (V + 2)) % (V + 2)
+    return (k == 0).reshape(1, 1, -1), (k == V + 1).reshape(1, 1, -1)
+
+
+def _assemble_sweep(H, nsl, V, fill):
+    """Fill the halo shells of sweep-layout ``H`` from neighbor blocks.
+
+    ``nsl`` is the (n, 3, 3, 3) compact-space neighbor slot table (garbage
+    row = n-1, whose values must already be ``fill``). Axis passes run
+    i -> j -> k so each pass reads shells the earlier passes filled, which
+    delivers all 20 edge/corner diagonals through face-only exchanges.
+    """
+    W = V + 2
+    # i faces: our i=0 group <- neighbor(di=-1)'s i'=V group (both 18 lanes)
+    g = jnp.take(H[:, :, V * W:(V + 1) * W], nsl[:, 0, 1, 1], axis=0)
+    H = H.at[:, :, 0:W].set(g)
+    g = jnp.take(H[:, :, W:2 * W], nsl[:, 2, 1, 1], axis=0)
+    H = H.at[:, :, (V + 1) * W:(V + 2) * W].set(g)
+    # j faces: single sublane rows, full lane extent (includes i shells)
+    g = jnp.take(H[:, V:V + 1, :], nsl[:, 1, 0, 1], axis=0)
+    H = H.at[:, 0:1, :].set(g)
+    g = jnp.take(H[:, 1:2, :], nsl[:, 1, 2, 1], axis=0)
+    H = H.at[:, V + 1:V + 2, :].set(g)
+    # k faces: masked lane shifts (k is minor within lanes, so the slab is
+    # strided; a +-V shift aligns neighbor k'=V/1 onto our k=0/V+1 lanes)
+    m0_np, m1_np = _k_edge_masks_np(V)
+    m0, m1 = jnp.asarray(m0_np), jnp.asarray(m1_np)
+    g = jnp.take(H, nsl[:, 1, 1, 0], axis=0)
+    H = jnp.where(m0, _lshift(g, V, fill), H)
+    g = jnp.take(H, nsl[:, 1, 1, 2], axis=0)
+    H = jnp.where(m1, _lshift(g, -V, fill), H)
+    return H
+
+
+def _extrema_sweep(h, op, fill, W):
+    """Class-wise 26-neighborhood extrema in sweep layout: (faces, edges,
+    corners), same shape as ``h``; positions whose stencil crossed an
+    i-group boundary land only on halo lanes (cropped by the caller)."""
+    ai = op(_lshift(h, W, fill), _lshift(h, -W, fill))
+    aj = op(_jshift(h, 1, fill), _jshift(h, -1, fill))
+    ak = op(_lshift(h, 1, fill), _lshift(h, -1, fill))
+    faces = op(op(ai, aj), ak)
+    eij = op(_jshift(ai, 1, fill), _jshift(ai, -1, fill))
+    eik = op(_lshift(ai, 1, fill), _lshift(ai, -1, fill))
+    ejk = op(_lshift(aj, 1, fill), _lshift(aj, -1, fill))
+    edges = op(op(eij, eik), ejk)
+    corners = op(_lshift(eij, 1, fill), _lshift(eij, -1, fill))
+    return faces, edges, corners
+
+
+# ---------------------------------------------------------------------------
 # ESDF update
 # ---------------------------------------------------------------------------
 
@@ -264,18 +369,26 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     pos_src = (participate & (fixed | (tsdf >= gamma))).at[-1].set(False)
     neg_src = (participate & (fixed | (tsdf <= -gamma))).at[-1].set(False)
 
+    # sweep in the lane-fused layout (see sweep-layout machinery above);
+    # masks convert once, state converts back once after the loop
+    W = V + 2
+    pos_side_h = _to_sweep_layout(pos_side, False)
+    neg_side_h = _to_sweep_layout(neg_side, False)
+    pos_src_h = _to_sweep_layout(pos_src, False)
+    neg_src_h = _to_sweep_layout(neg_src, False)
+    esdf0_h = _to_sweep_layout(esdf0, 0.0)
+
     def body(carry):
         esdf, _, it = carry
-        lo_tiles = jnp.where(pos_src, esdf, BIG).at[-1].set(BIG)
-        hi_tiles = jnp.where(neg_src, esdf, -BIG).at[-1].set(-BIG)
-        lo_h = assemble_halo(lo_tiles, nslots, V, BIG)
-        hi_h = assemble_halo(hi_tiles, nslots, V, -BIG)
-        fl, el, cl = neighborhood_extrema(lo_h, jnp.minimum)
-        fh, eh, chs = neighborhood_extrema(hi_h, jnp.maximum)
+        lo = _assemble_sweep(jnp.where(pos_src_h, esdf, BIG), nslots, V, BIG)
+        hi = _assemble_sweep(jnp.where(neg_src_h, esdf, -BIG), nslots, V,
+                             -BIG)
+        fl, el, cl = _extrema_sweep(lo, jnp.minimum, BIG, W)
+        fh, eh, chs = _extrema_sweep(hi, jnp.maximum, -BIG, W)
         cand_lo = jnp.minimum(jnp.minimum(fl + v1, el + v2), cl + v3)
         cand_hi = jnp.maximum(jnp.maximum(fh - v1, eh - v2), chs - v3)
-        new = jnp.where(pos_side, jnp.minimum(esdf, cand_lo), esdf)
-        new = jnp.where(neg_side, jnp.maximum(esdf, cand_hi), new)
+        new = jnp.where(pos_side_h, jnp.minimum(esdf, cand_lo), esdf)
+        new = jnp.where(neg_side_h, jnp.maximum(esdf, cand_hi), new)
         changed = jnp.any(jnp.abs(new - esdf) > 1e-6)
         return new, changed, it + 1
 
@@ -283,8 +396,9 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         _, changed, it = carry
         return changed & (it < max_sweeps)
 
-    esdf_c, _, sweeps = jax.lax.while_loop(
-        cond, body, (esdf0, jnp.bool_(True), jnp.int32(0)))
+    esdf_h, _, sweeps = jax.lax.while_loop(
+        cond, body, (esdf0_h, jnp.bool_(True), jnp.int32(0)))
+    esdf_c = _from_sweep_layout(esdf_h, V)
 
     # scatter results back to full-size arrays; blocks outside the working
     # set carry their previous values through (they were not recomputed)

@@ -8,9 +8,14 @@ provides the jittable equivalent:
 - a **direct-mapped block table** ``table[(s, bi, bj, bk) -> slot]`` over the
   bounded block-coordinate space (the reference's index space is equally
   bounded by ``map_scale``), stored as one int32 array; ``-1`` = unallocated;
-- dense **channel arrays** ``(max_blocks + 1, V, V, V, ...)`` — slot
+- dense **channel arrays** ``(max_blocks + 1, V^3, ...)`` — slot
   ``max_blocks`` is a garbage row that absorbs reads/writes through
-  unallocated or overflowed blocks (mask-free scatter/gather);
+  unallocated or overflowed blocks (mask-free scatter/gather). Storage is
+  flat in the voxel dim on purpose: a (nb, V, V, V) array tile-pads its
+  last two dims to (8, 128) on TPU — 8x HBM and bandwidth at V=16 —
+  while (nb, V^3) lanes are exactly aligned; ops that need spatial
+  structure (ESDF sweeps, mesher halos) reshape their compacted working
+  sets only;
 - **allocation as a prefix-sum**: all blocks touched by a frame are marked in
   the table region of the active submap, new blocks receive consecutive slots
   via an exclusive cumsum — fully parallel, deterministic, no atomics.
@@ -38,7 +43,7 @@ class GridState(NamedTuple):
         block_active: bool (max_blocks + 1,).
         num_blocks: int32 scalar, allocated slot count.
         alloc_overflow: int32 scalar, dropped allocations (capacity misses).
-        channels: dict name -> (max_blocks + 1, V, V, V[, C]) arrays.
+        channels: dict name -> (max_blocks + 1, V^3[, C]) arrays.
     """
 
     table: jax.Array
@@ -55,10 +60,10 @@ def make_grid_state(spec: GridSpec, channel_defs: Dict[str, Tuple]) -> GridState
     ``channel_defs`` maps channel name -> (dtype, extra_shape) where
     extra_shape is () for scalar voxels or (3,) for e.g. RGB.
     """
-    V = spec.V
     nb = spec.max_blocks + 1
     channels = {
-        name: jnp.zeros((nb, V, V, V) + tuple(extra), dtype=dtype)
+        name: jnp.zeros((nb, spec.voxels_per_block) + tuple(extra),
+                        dtype=dtype)
         for name, (dtype, extra) in channel_defs.items()
     }
     return GridState(
@@ -235,10 +240,10 @@ def reset_grid(state: GridState) -> GridState:
 # ---------------------------------------------------------------------------
 
 def channel_flat(channel):
-    """View (B, V, V, V[, C]) as (B*V^3[, C])."""
-    b, v = channel.shape[0], channel.shape[1]
-    extra = channel.shape[4:]
-    return channel.reshape((b * v * v * v,) + extra)
+    """View (B, V^3[, C]) as (B*V^3[, C])."""
+    b, v3 = channel.shape[0], channel.shape[1]
+    extra = channel.shape[2:]
+    return channel.reshape((b * v3,) + extra)
 
 
 def channel_unflat(flat, like):

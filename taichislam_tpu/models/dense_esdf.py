@@ -32,7 +32,7 @@ class DenseESDF(DenseTSDF):
         self._esdf_pending = None
         self._esdf_cap_bucket = 64
         spec = self.cfg.grid
-        shape = (spec.max_blocks + 1, spec.V, spec.V, spec.V)
+        shape = (spec.max_blocks + 1, spec.voxels_per_block)
         self.esdf = jnp.zeros(shape, jnp.float32)
         self.esdf_fixed = jnp.zeros(shape, jnp.int8)
         self.esdf_observed = jnp.zeros(shape, bool)

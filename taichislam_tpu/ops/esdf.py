@@ -171,11 +171,11 @@ def neighborhood_extrema(halo, op):
 # exchange).
 # ---------------------------------------------------------------------------
 
-def _to_sweep_layout(tiles4, fill):
-    """(n, V, V, V) [i,j,k] -> (n, V+2, (V+2)**2) [j | i*18+k] with ``fill``
-    in the halo positions."""
-    n, V = tiles4.shape[0], tiles4.shape[1]
-    t = jnp.transpose(tiles4, (0, 2, 1, 3))            # (n, j, i, k)
+def _to_sweep_layout(tiles, V, fill):
+    """(n, V^3) flat [i,j,k] tiles -> (n, V+2, (V+2)**2) [j | i*(V+2)+k]
+    with ``fill`` in the halo positions."""
+    n = tiles.shape[0]
+    t = jnp.transpose(tiles.reshape(n, V, V, V), (0, 2, 1, 3))  # (n,j,i,k)
     t = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (1, 1)), constant_values=fill)
     return t.reshape(n, V + 2, (V + 2) * (V + 2))
 
@@ -183,7 +183,7 @@ def _to_sweep_layout(tiles4, fill):
 def _from_sweep_layout(H, V):
     n = H.shape[0]
     t = H.reshape(n, V + 2, V + 2, V + 2)[:, 1:V + 1, 1:V + 1, 1:V + 1]
-    return jnp.transpose(t, (0, 2, 1, 3))              # back to (n, i, j, k)
+    return jnp.transpose(t, (0, 2, 1, 3)).reshape(n, V * V * V)
 
 
 def _lshift(h, s, fill):
@@ -284,7 +284,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     shapes and no atomics).
 
     Args:
-        prev_esdf: (max_blocks+1, V, V, V) previous ESDF (zeros on first call)
+        prev_esdf: (max_blocks+1, V^3) previous ESDF (zeros on first call)
         prev_fixed: same-shaped int8 previous fixed flags
     Returns (esdf, fixed, observed_mask, sweeps_run, changed_blocks,
     block_cap_overflow) — arrays full-size. A nonzero overflow means the
@@ -306,7 +306,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     obs_full = state.channels["TSDF_observed"] > 0
     blk = state.block_active & (state.block_coords[:, 0] == active_submap)
     blk = blk.at[-1].set(False)
-    participate_full = obs_full & blk[:, None, None, None]
+    participate_full = obs_full & blk[:, None]
 
     nslots_full = neighbor_slot_table(spec, state, active_submap)  # (nb,3,3,3)
 
@@ -334,9 +334,9 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
 
     def gcomp(arr, fill):
         out = jnp.take(arr, slot_of, axis=0)
-        out = jnp.where(bvalid[:, None, None, None], out, fill)
+        out = jnp.where(bvalid[:, None], out, fill)
         pad = jnp.full((1,) + out.shape[1:], fill, out.dtype)
-        return jnp.concatenate([out, pad], axis=0)   # (cap+1, V, V, V)
+        return jnp.concatenate([out, pad], axis=0)   # (cap+1, V^3)
 
     tsdf = gcomp(tsdf_full, 0.0)
     participate = gcomp(participate_full, False)
@@ -372,11 +372,11 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     # sweep in the lane-fused layout (see sweep-layout machinery above);
     # masks convert once, state converts back once after the loop
     W = V + 2
-    pos_side_h = _to_sweep_layout(pos_side, False)
-    neg_side_h = _to_sweep_layout(neg_side, False)
-    pos_src_h = _to_sweep_layout(pos_src, False)
-    neg_src_h = _to_sweep_layout(neg_src, False)
-    esdf0_h = _to_sweep_layout(esdf0, 0.0)
+    pos_side_h = _to_sweep_layout(pos_side, V, False)
+    neg_side_h = _to_sweep_layout(neg_side, V, False)
+    pos_src_h = _to_sweep_layout(pos_src, V, False)
+    neg_src_h = _to_sweep_layout(neg_src, V, False)
+    esdf0_h = _to_sweep_layout(esdf0, V, 0.0)
 
     def body(carry):
         esdf, _, it = carry
@@ -413,7 +413,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     # saw: re-queue them (and, via next call's dilation, their neighbors)
     row_changed = jnp.any(
         (jnp.abs(esdf_c - prev_e) > 1e-6) | (fixed != (prev_f > 0)),
-        axis=(1, 2, 3))
+        axis=1)
     changed_blocks = jnp.zeros((nb,), bool).at[tgt].set(
         row_changed[:block_cap], mode="drop").at[-1].set(False)
     overflow = jnp.maximum(btotal - block_cap, 0)

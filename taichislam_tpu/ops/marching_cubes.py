@@ -205,9 +205,11 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
             return jnp.where(bvalid[:, None, None, None], out, fill)
 
         # unobserved/missing neighbors read TSDF 0 / observed 0 — the
-        # reference's inactive-SNode semantics
-        tsdf_src = jnp.where(obs_t, tsdf_t, 0.0).at[-1].set(0.0)
-        obs_src = obs_t.at[-1].set(False)
+        # reference's inactive-SNode semantics. Channels are stored flat
+        # (nb, V^3); the halo slab slicing needs spatial (nb, V, V, V).
+        tsdf_src = jnp.where(obs_t, tsdf_t, 0.0).at[-1].set(0.0).reshape(
+            nb, V, V, V)
+        obs_src = obs_t.at[-1].set(False).reshape(nb, V, V, V)
         th = assemble_halo(tsdf_src, nsl, V, 0.0,
                            center=gtile(tsdf_src, 0.0))       # (cap, V+2,..)
         oh = assemble_halo(obs_src, nsl, V, False,
@@ -221,8 +223,8 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
                     assemble_halo(src, nsl, V, 0.0,
                                   center=gtile(src, 0.0)),
                     V).reshape(cap, -1, 8)
-                 for src in (col_t[..., c].at[-1].set(0.0)
-                             for c in range(3))], axis=-1)     # (cap,V³,8,3)
+                 for src in (col_t[..., c].at[-1].set(0.0).reshape(
+                     nb, V, V, V) for c in range(3))], axis=-1)  # (cap,V³,8,3)
     else:
         cell_ijk_c = origin_c[:, None, :] + _intra_np(V)[None]
         corners = cell_ijk_c[:, :, None, :] + \

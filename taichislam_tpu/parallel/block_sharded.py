@@ -131,7 +131,7 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
         touched = w_sum > 0
         new_D = jnp.where(touched, (D * W + wd_sum) / (W + w_sum), D)
         new_W = jnp.where(touched, jnp.minimum(W + w_sum, cfg.w_max), W)
-        shape = (w_sum.shape[0] // (V ** 3), V, V, V)
+        shape = (w_sum.shape[0] // (V ** 3), V ** 3)
         ch["TSDF"] = new_D.astype(cfg.dtype).reshape(shape)
         ch["W_TSDF"] = new_W.astype(cfg.dtype).reshape(shape)
         obs = ch["TSDF_observed"].reshape(-1)

@@ -166,7 +166,7 @@ def test_esdf_dirty_block_propagation():
     # vs a from-scratch recompute: warm starts keep stale-low values where
     # a moved surface would require raising (the reference's raise queue;
     # see ops/esdf.py docstring) — bounded to a small fraction of voxels
-    shape = (m.cfg.max_blocks + 1,) + (m.cfg.grid.V,) * 3
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
     full, _, _, _, _, ov = esdf_ops.esdf_update(
         m.cfg, 256, min(512, m.cfg.max_blocks), m.state,
         jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int8),

@@ -46,7 +46,7 @@ def main():
                                             Tk, K, K, jnp.int32(0))
     print(f"map blocks: {int(state.num_blocks)}", flush=True)
 
-    shape = (cfg.grid.max_blocks + 1,) + (16,) * 3
+    shape = (cfg.grid.max_blocks + 1, cfg.grid.voxels_per_block)
     FULL_CAP = 512
     esdf0, fixed0, _, sweeps, _, _ = esdf_ops.esdf_update(
         cfg, 96, FULL_CAP, state, jnp.zeros(shape, jnp.float32),

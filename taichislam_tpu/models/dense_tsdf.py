@@ -294,14 +294,21 @@ class DenseTSDF(BaseMap):
         """Fuse all of ``submaps``'s submaps into this (global) map
         (dense_tsdf.py:312-318). Resets first like the reference.
 
-        The splat lane count is ``source_cap × 7`` and scatter cost on TPU is
-        per lane, so the source capacity adapts to the observed source count
-        (growing and redoing on overflow — overflowed fusions would silently
-        lose map content)."""
+        Sources are block-granular: the splat lane count is
+        ``source_block_cap × V³ × 7``, with the cap bucketed to the
+        submap collection's allocated block count (known exactly on the
+        host, so source overflow cannot happen). The global-side
+        touched-tile cap still grows and redoes on overflow."""
         import dataclasses
         t = time.time()
-        cap = getattr(submaps, "_fuse_src_bucket", None) or \
-            min(1 << 16, submaps.max_fuse_voxels)
+        need = int(submaps.state.num_blocks) + 1
+        bcap = 64
+        while bcap < need:
+            bcap *= 2
+        # bounded by the submap grid itself — num_blocks <= max_blocks, so
+        # no sources can drop (the legacy max_fuse_voxels bound was voxel-
+        # granular and silently clipped sparse submap collections)
+        bcap = min(bcap, submaps.cfg.max_blocks)
         touched_cap = getattr(self, "_fuse_touched_bucket",
                               self.cfg.max_touched_blocks)
         while True:
@@ -312,28 +319,20 @@ class DenseTSDF(BaseMap):
             # poses used for fusion are THIS (global) map's registry, which
             # is the one PGO updates (submap_mapping.py:119).
             self.state, stats = fusion_ops.fuse_submaps(
-                submaps.cfg, glob_cfg, cap, self.state,
+                submaps.cfg, glob_cfg, bcap, self.state,
                 submaps.state, jnp.asarray(self.submaps_base_R_np),
                 jnp.asarray(self.submaps_base_T_np))
-            total = int(stats["fuse_sources"]) + int(stats["fuse_dropped"])
             tiles_over = int(stats.get("fuse_tiles_dropped", 0))
-            src_over = int(stats["fuse_dropped"]) > 0 and \
-                cap < submaps.max_fuse_voxels
-            tile_over = tiles_over > 0 and touched_cap < self.cfg.max_blocks
-            if not src_over and not tile_over:
-                break
-            if src_over:
-                while cap < total * 11 // 10:
-                    cap *= 2
-                cap = min(cap, submaps.max_fuse_voxels)
-            if tile_over:
+            if tiles_over > 0 and touched_cap < self.cfg.max_blocks:
                 while touched_cap < (touched_cap + tiles_over) * 11 // 10:
                     touched_cap *= 2
                 touched_cap = min(touched_cap, self.cfg.max_blocks)
+                continue
+            break
         self._fuse_touched_bucket = touched_cap
-        submaps._fuse_src_bucket = min(
-            exports_ops.pow2_capacity(total * 11 // 10, lo=1 << 14),
-            submaps.max_fuse_voxels)
+        if int(stats["fuse_dropped"]) > 0:
+            print(f"[DenseTSDF] fuse sources dropped: "
+                  f"{int(stats['fuse_dropped'])} (block cap)")
         self.last_stats = stats
         print(f"[DenseTSDF] Fuse submaps {(time.time()-t)*1000:.1f}ms, "
               f"active local: {submaps.active_submap_id} "

@@ -9,8 +9,9 @@ dense_tsdf.py:300) — a quirk we replicate for fidelity.
 
 The weighted merge is associative, so the sequential atomic updates become
 one scatter-add of (Σw, Σw·tsdf, Σw·color, Σocc) + a closed-form combine.
-Sources are compacted to the observed set first so the splat touches
-``max_fuse_voxels × 7`` targets instead of the whole grid.
+Sources are compacted at *block* granularity first (``max_fuse_blocks``
+observed blocks, every voxel a masked lane) so the splat touches
+``max_fuse_blocks × V³ × 7`` lanes instead of the whole grid.
 
 ``splat_contributions`` / ``apply_contributions`` are split so the
 multi-chip path (taichislam_tpu.parallel.multi_drone) can psum the
@@ -31,81 +32,131 @@ from taichislam_tpu.core.grid import (
     GridState,
     allocate_blocks,
     allocate_from_touched,
+    block_origin_voxel,
     flat_voxel_index,
     lookup_slots,
-    voxel_to_block,
+    voxel_to_block_c,
 )
 from taichislam_tpu.core import geometry
-from taichislam_tpu.ops.exports import voxel_xyz_all
+from taichislam_tpu.ops.exports import _intra_offsets_np
 
 
 class SplatContribs(NamedTuple):
-    blin: jax.Array      # (C*7,) target linear block ids in the global grid
-    ok: jax.Array        # (C*7,) valid mask
-    intra: jax.Array     # (C*7,) intra-block linear voxel index
-    w: jax.Array         # (C*7,) splat weights (w_tsdf * trilinear)
-    wd: jax.Array        # (C*7,) w * tsdf
-    occ: jax.Array       # (C*7,) int32 occupancy counts
-    wc: jax.Array        # (C*7, 3) w * color
+    """Lane count L = 7 * max_fuse_blocks * V^3 (corner-major order);
+    sources are every voxel of the compacted observed source blocks, with
+    ``ok`` masking the unobserved ones."""
+    blin: jax.Array      # (L,) target linear block ids in the global grid
+    ok: jax.Array        # (L,) valid mask
+    intra: jax.Array     # (L,) intra-block linear voxel index
+    w: jax.Array         # (L,) splat weights (w_tsdf * trilinear)
+    wd: jax.Array        # (L,) w * tsdf
+    occ: jax.Array       # (L,) int32 occupancy counts
+    wc: jax.Array        # (L, 3) w * color
     kept: jax.Array      # () sources used
-    dropped: jax.Array   # () sources beyond capacity
+    dropped: jax.Array   # () sources in blocks beyond capacity
 
 
 def splat_contributions(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
-                        max_fuse_voxels: int, sub_state: GridState,
+                        max_fuse_blocks: int, sub_state: GridState,
                         base_R, base_T) -> SplatContribs:
+    """Two-level source selection + component arrays, both TPU-layout
+    driven: (a) stacked (..., 3)/(..., 7) intermediates pad their minor dim
+    to 128 lanes (the original (nb*V^3, 3) world-xyz array materialized
+    2 GB padded); (b) per-voxel stream compaction over the whole grid costs
+    ~10 ns per *input* lane in XLA's scatter, ~40 ms at 1024 blocks. So:
+    compact observed *blocks* (an nb-lane prefix sum), slice-gather their
+    rows, and splat every voxel of the gathered blocks with an `ok` mask —
+    masked lanes are absorbed by the sorted Pallas reduction (or the
+    mode="drop" scatters on the XLA path). Measured on v5e: full-submap
+    fuse (113 blocks, 176k sources) 123 ms -> 15.7 ms at bcap=128."""
     spec = sub_cfg.grid
     gspec = glob_cfg.grid
     ch = sub_state.channels
+    V3 = spec.voxels_per_block
+    bcap = max(1, min(spec.max_blocks, max_fuse_blocks))
 
-    obs = ch["TSDF_observed"].reshape(-1) > 0
+    obs_full = ch["TSDF_observed"] > 0                  # (nb, V^3)
     blk_ok = sub_state.block_active.at[-1].set(False)
-    mask = obs & jnp.repeat(blk_ok, spec.voxels_per_block)
+    blk_has = blk_ok & jnp.any(obs_full, axis=1)
+    total = jnp.sum((obs_full & blk_ok[:, None]).astype(jnp.int32))
 
-    pos, kept, total = compact_mask(mask, max_fuse_voxels)
-    C = max_fuse_voxels
+    bpos, bkept, btotal = compact_mask(blk_has, bcap)
+    nb = spec.max_blocks + 1
+    slot_of = jnp.full((bcap + 1,), nb - 1, jnp.int32).at[bpos].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")[:bcap]
+    bvalid = jnp.arange(bcap) < bkept
 
-    def gather(arr, extra=()):
-        out = jnp.zeros((C + 1,) + extra, arr.dtype)
-        return out.at[pos].set(arr, mode="drop")[:C]
+    def grow(arr):
+        return jnp.take(arr, slot_of, axis=0)           # (bcap, ...)
 
-    xyz_all = voxel_xyz_all(spec, sub_state, base_R, base_T,
-                            is_global=False).reshape(-1, 3)
-    src_xyz = gather(xyz_all, (3,))
-    src_tsdf = gather(ch["TSDF"].reshape(-1).astype(jnp.float32))
-    src_w = gather(ch["W_TSDF"].reshape(-1).astype(jnp.float32))
-    src_occ = gather(ch["occupy"].reshape(-1).astype(jnp.int32))
+    src_valid = (grow(obs_full) & bvalid[:, None]).reshape(-1)
+    src_tsdf = grow(ch["TSDF"]).astype(jnp.float32).reshape(-1)
+    src_w = grow(ch["W_TSDF"]).astype(jnp.float32).reshape(-1)
+    src_occ = grow(ch["occupy"]).astype(jnp.int32).reshape(-1)
+    kept = jnp.sum(src_valid.astype(jnp.int32))
+
+    # per-voxel signed ijk, componentwise: block origin + intra offset
+    coords_c = grow(sub_state.block_coords)             # (bcap, 4)
+    base = block_origin_voxel(spec, coords_c)           # (bcap, 3)
+    intra_np = _intra_offsets_np(spec.V)                # (V^3, 3) numpy
+    src_i = [(base[:, a:a + 1] + jnp.asarray(intra_np[:, a])[None, :]
+              ).astype(jnp.float32).reshape(-1) for a in range(3)]
+    src_s = jnp.repeat(coords_c[:, 0], V3)
+
+    # submap-local center -> world (submap_i_j_k_to_xyz,
+    # mapping_common.py:229-232), componentwise through the base pose
+    s = jnp.clip(src_s, 0, base_R.shape[0] - 1)
+    lx = src_i[0] * spec.voxel_scale
+    ly = src_i[1] * spec.voxel_scale
+    lz = src_i[2] * spec.voxel_scale
+    gf = []
+    inv_gv = 1.0 / glob_cfg.voxel_scale
+    for a in range(3):
+        wa = (jnp.take(base_R[:, a, 0], s) * lx +
+              jnp.take(base_R[:, a, 1], s) * ly +
+              jnp.take(base_R[:, a, 2], s) * lz + jnp.take(base_T[:, a], s))
+        gf.append(wa * inv_gv)
+    low = [jnp.floor(g).astype(jnp.int32) for g in gf]
+    fr = [g - l.astype(jnp.float32) for g, l in zip(gf, low)]
+
+    # 7 trilinear corners as a static loop of (C,) lanes (the (0,0,0)
+    # corner is skipped per the reference quirk, dense_tsdf.py:300)
+    blin_l, intra_l, ok_l, w_l, wd_l, occ_l = [], [], [], [], [], []
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                if di + dj + dk == 0:
+                    continue
+                wgt = ((fr[0] if di else 1.0 - fr[0]) *
+                       (fr[1] if dj else 1.0 - fr[1]) *
+                       (fr[2] if dk else 1.0 - fr[2]))
+                wgt = jnp.where(src_valid, wgt, 0.0)
+                blin, intra, inb = voxel_to_block_c(
+                    gspec, jnp.int32(0), low[0] + di, low[1] + dj,
+                    low[2] + dk)
+                ok = src_valid & inb & (wgt > 0)
+                w = jnp.where(ok, wgt * src_w, 0.0)
+                blin_l.append(blin)
+                intra_l.append(intra)
+                ok_l.append(ok)
+                w_l.append(w)
+                wd_l.append(w * src_tsdf)
+                occ_l.append(jnp.where(ok, src_occ, 0))
+
+    okf = jnp.concatenate(ok_l)
+    w_splat = jnp.concatenate(w_l)
     if sub_cfg.texture_enabled:
-        src_col = gather(ch["color"].reshape(-1, 3).astype(jnp.float32), (3,))
+        src_col = grow(ch["color"]).astype(jnp.float32).reshape(-1, 3)
+        wc_splat = w_splat[:, None] * jnp.tile(src_col, (7, 1))
     else:
-        src_col = jnp.zeros((C, 3), jnp.float32)
-    src_valid = jnp.arange(C) < kept
+        wc_splat = jnp.zeros((bcap * V3 * 7, 3), jnp.float32)
 
-    gf = src_xyz / glob_cfg.voxel_scale
-    low = jnp.floor(gf).astype(jnp.int32)
-    corners = jnp.asarray(
-        [[di, dj, dk] for di in (0, 1) for dj in (0, 1) for dk in (0, 1)
-         if di + dj + dk != 0], jnp.int32)
-    tgt = low[:, None, :] + corners[None, :, :]
-    wgt = jnp.prod(1.0 - jnp.abs(tgt.astype(jnp.float32) - gf[:, None, :]),
-                   axis=-1)
-    wgt = jnp.where(src_valid[:, None], wgt, 0.0)
-
-    s0 = jnp.zeros(tgt.shape[:-1], jnp.int32)
-    blin, intra, inb = voxel_to_block(gspec, s0, tgt)
-    ok = src_valid[:, None] & inb & (wgt > 0)
-
-    w_splat = (wgt * src_w[:, None]).reshape(-1)
-    wd_splat = w_splat * jnp.repeat(src_tsdf, 7)
-    occ_splat = jnp.where(ok, src_occ[:, None], 0).reshape(-1)
-    wc_splat = w_splat[:, None] * jnp.repeat(src_col, 7, axis=0)
-
-    okf = ok.reshape(-1)
     return SplatContribs(
-        blin=blin.reshape(-1), ok=okf, intra=intra.reshape(-1),
-        w=jnp.where(okf, w_splat, 0.0), wd=jnp.where(okf, wd_splat, 0.0),
-        occ=occ_splat, wc=jnp.where(okf[:, None], wc_splat, 0.0),
-        kept=kept, dropped=jnp.maximum(total - C, 0))
+        blin=jnp.concatenate(blin_l), ok=okf,
+        intra=jnp.concatenate(intra_l), w=w_splat,
+        wd=jnp.concatenate(wd_l), occ=jnp.concatenate(occ_l),
+        wc=jnp.where(okf[:, None], wc_splat, 0.0),
+        kept=kept, dropped=total - kept)
 
 
 def accumulate_dense(glob_cfg: TSDFConfig, global_state: GridState,
@@ -181,7 +232,7 @@ def _use_pallas_fusion(glob_cfg: TSDFConfig) -> bool:
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
-                 max_fuse_voxels: int, global_state: GridState,
+                 max_fuse_blocks: int, global_state: GridState,
                  sub_state: GridState, base_R, base_T):
     """Fuse ALL submaps (local + remote) into the global map. The caller
     resets the global map first, as DenseTSDF.fuse_submaps does
@@ -192,7 +243,7 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
     4 per-lane scatters; ``fuse_tiles_dropped`` reports touched-capacity
     overflow so the caller can grow ``glob_cfg.max_touched_blocks`` and redo.
     """
-    c = splat_contributions(sub_cfg, glob_cfg, max_fuse_voxels, sub_state,
+    c = splat_contributions(sub_cfg, glob_cfg, max_fuse_blocks, sub_state,
                             base_R, base_T)
     gspec = glob_cfg.grid
     tiles_dropped = jnp.int32(0)

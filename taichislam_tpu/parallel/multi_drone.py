@@ -39,7 +39,7 @@ def make_drone_states(cfg: TSDFConfig, n_drones: int):
 
 
 def multi_drone_step(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
-                     max_fuse_voxels: int, mesh: Mesh, axis: str = "drone"):
+                     max_fuse_blocks: int, mesh: Mesh, axis: str = "drone"):
     """Build the jitted SPMD step:
     (drone_states, global_state, depth, R, T, K, base_R, base_T)
       -> (drone_states, global_state)
@@ -55,7 +55,7 @@ def multi_drone_step(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
                                          jnp.zeros((1, 1, 3), jnp.uint8),
                                          R[0], T[0], K, K, jnp.int32(0))
         # fusion contributions from this drone's submap collection
-        c = fusion_ops.splat_contributions(sub_cfg, glob_cfg, max_fuse_voxels,
+        c = fusion_ops.splat_contributions(sub_cfg, glob_cfg, max_fuse_blocks,
                                            st, base_R, base_T)
         touched = fusion_ops.accumulate_dense(glob_cfg, gstate, c)
         touched = jax.lax.psum(touched.astype(jnp.int32), axis) > 0

@@ -40,7 +40,7 @@ def test_multi_drone_step_8_devices():
     depth, R, T = drone_inputs(8)
     base_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (4, 3, 3))
     base_T = jnp.zeros((4, 3), jnp.float32)
-    step = multi_drone_step(SUB_CFG, GLOB_CFG, 4096, mesh)
+    step = multi_drone_step(SUB_CFG, GLOB_CFG, 64, mesh)
     dstates, gstate = step(dstates, gstate, depth, R, T, K, base_R, base_T)
     assert int(gstate.num_blocks) > 0
     # each drone's own collection allocated blocks
@@ -59,7 +59,7 @@ def test_multi_drone_matches_sequential_fusion():
     depth, R, T = drone_inputs(n)
     base_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (4, 3, 3))
     base_T = jnp.zeros((4, 3), jnp.float32)
-    step = multi_drone_step(SUB_CFG, GLOB_CFG, 4096, mesh)
+    step = multi_drone_step(SUB_CFG, GLOB_CFG, 64, mesh)
     dstates, gstate = step(dstates, gstate, depth, R, T, K, base_R, base_T)
 
     # sequential reference: integrate each drone separately, splat-accumulate
@@ -72,7 +72,7 @@ def test_multi_drone_matches_sequential_fusion():
             SUB_CFG, st, depth[d], jnp.zeros((1, 1, 3), jnp.uint8),
             R[d], T[d], K, K, jnp.int32(0))
         contribs.append(fusion_ops.splat_contributions(
-            SUB_CFG, GLOB_CFG, 4096, st, base_R, base_T))
+            SUB_CFG, GLOB_CFG, 64, st, base_R, base_T))
     touched = jnp.zeros((GLOB_CFG.grid.table_size,), jnp.int32)
     for c in contribs:
         touched = touched + fusion_ops.accumulate_dense(GLOB_CFG, g2, c)

@@ -27,6 +27,39 @@ def compact_mask(mask, capacity: int):
     return pos, jnp.minimum(count, capacity), count
 
 
+def compact_sort(mask, capacity: int, operands, fills):
+    """Sort-based stream compaction of parallel ``operands``.
+
+    XLA lowers masked-scatter compaction to ~10 ns per *input* lane per
+    array — ruinous when compacting a few thousand survivors out of
+    hundreds of thousands of lanes across several arrays. A single stable
+    multi-operand ``lax.sort`` on the mask key moves all survivors to the
+    front in one pass (~1-2 ms at 512k lanes on v5e, near-independent of
+    operand count), preserving linear-index order like the scatter form.
+
+    Returns ([out (capacity,) per operand], kept, total); padding and
+    overflow lanes hold the per-operand ``fills`` value.
+    """
+    import jax
+
+    n = mask.shape[0]
+    key = jnp.where(mask, 0, 1).astype(jnp.int32)
+    sorted_ = jax.lax.sort((key,) + tuple(operands), num_keys=1,
+                           is_stable=True)
+    total = jnp.sum(mask.astype(jnp.int32))
+    kept = jnp.minimum(total, capacity)
+    live = jnp.arange(capacity) < kept
+    outs = []
+    for arr, fill in zip(sorted_[1:], fills):
+        if n >= capacity:
+            o = arr[:capacity]
+        else:
+            o = jnp.concatenate(
+                [arr, jnp.full((capacity - n,), fill, arr.dtype)])
+        outs.append(jnp.where(live, o, jnp.asarray(fill, o.dtype)))
+    return outs, kept, total
+
+
 def compact(values, mask, capacity: int, fill_value=0):
     """Compact ``values`` (leading dim = mask size) where ``mask`` holds.
 

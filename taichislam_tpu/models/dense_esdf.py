@@ -93,13 +93,15 @@ class DenseESDF(DenseTSDF):
 
     # -- exports -------------------------------------------------------------
     def cvt_ESDF_to_voxels_slice(self, z, dz=0.5):
-        xyz, esdf, color, n = esdf_ops.esdf_slice_export(
-            self.cfg, self.max_disp_particles, self.state, self.esdf,
-            self.esdf_observed, jnp.asarray(self.submaps_base_R_np),
+        x, y, zc, esdf, color, n = esdf_ops.esdf_slice_export(
+            self.cfg, self.max_disp_particles, self._export_block_bucket(),
+            self.state, self.esdf, self.esdf_observed,
+            jnp.asarray(self.submaps_base_R_np),
             jnp.asarray(self.submaps_base_T_np),
             jnp.int32(self.active_submap_id), jnp.float32(z),
             jnp.float32(dz))
-        self.export_ESDF_xyz = np.array(xyz)
+        self.export_ESDF_xyz = np.stack(
+            [np.array(x), np.array(y), np.array(zc)], axis=1)
         self.export_ESDF = np.array(esdf)
         self.export_color = np.array(color)
         self.num_export_ESDF_particles = int(n)

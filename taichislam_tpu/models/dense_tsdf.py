@@ -139,42 +139,48 @@ class DenseTSDF(BaseMap):
     def cvt_occupy_to_voxels(self):
         self.cvt_TSDF_surface_to_voxels()
 
-    def cvt_TSDF_surface_to_voxels(self):
-        xyz, color, tsdf, n = exports_ops.tsdf_surface_export(
-            self.cfg, self.max_disp_particles, False, self.state,
+    def _export_block_bucket(self):
+        """Static block cap for export jits: pow2-bucketed allocated block
+        count (op cost scales with the static cap, not runtime sparsity)."""
+        return min(exports_ops.pow2_capacity(
+            int(self.state.num_blocks) + 1, lo=64), self.cfg.max_blocks)
+
+    def _surface_export(self, capacity):
+        x, y, z, color, tsdf, n = exports_ops.tsdf_surface_export(
+            self.cfg, capacity, self._export_block_bucket(), self.state,
             jnp.asarray(self.submaps_base_R_np),
             jnp.asarray(self.submaps_base_T_np),
-            jnp.int32(self.active_submap_id), jnp.int32(0))
-        self.export_TSDF_xyz = np.array(xyz)
-        self.export_color = np.array(color)
-        self.export_TSDF = np.array(tsdf)
-        self.num_TSDF_particles = int(n)
+            jnp.int32(self.active_submap_id))
+        xyz = np.stack([np.array(x), np.array(y), np.array(z)], axis=1)
+        return xyz, np.array(color), np.array(tsdf), int(n)
+
+    def cvt_TSDF_surface_to_voxels(self):
+        (self.export_TSDF_xyz, self.export_color, self.export_TSDF,
+         self.num_TSDF_particles) = self._surface_export(
+            self.max_disp_particles)
 
     def cvt_TSDF_surface_to_voxels_to(self, num_particles, max_disp_particles,
                                       export_TSDF_xyz, export_color):
         """Append-variant for combined global+local display
-        (dense_tsdf.py:327-329). Host buffers are numpy arrays."""
-        xyz, color, tsdf, n = exports_ops.tsdf_surface_export(
-            self.cfg, max_disp_particles, True, self.state,
-            jnp.asarray(self.submaps_base_R_np),
-            jnp.asarray(self.submaps_base_T_np),
-            jnp.int32(self.active_submap_id), jnp.int32(num_particles))
-        kept = int(n) - num_particles
-        if kept > 0:
-            sl = slice(num_particles, num_particles + kept)
-            export_TSDF_xyz[sl] = np.asarray(xyz)[num_particles:
-                                                  num_particles + kept]
-            export_color[sl] = np.asarray(color)[num_particles:
-                                                 num_particles + kept]
-        return int(n)
+        (dense_tsdf.py:327-329). Host buffers are numpy arrays; survivors
+        are compacted to the front, so appending is a slice copy."""
+        xyz, color, tsdf, kept = self._surface_export(max_disp_particles)
+        room = max(0, max_disp_particles - num_particles)
+        copy = min(kept, room)
+        if copy > 0:
+            sl = slice(num_particles, num_particles + copy)
+            export_TSDF_xyz[sl] = xyz[:copy]
+            export_color[sl] = color[:copy]
+        return num_particles + copy
 
     def cvt_TSDF_to_voxels_slice(self, z, dz=0.5, clear_last=True):
-        xyz, tsdf, color, n = exports_ops.tsdf_slice_export(
-            self.cfg, self.max_disp_particles, self.state,
-            jnp.asarray(self.submaps_base_R_np),
+        x, y, zc, tsdf, color, n = exports_ops.tsdf_slice_export(
+            self.cfg, self.max_disp_particles, self._export_block_bucket(),
+            self.state, jnp.asarray(self.submaps_base_R_np),
             jnp.asarray(self.submaps_base_T_np),
             jnp.int32(self.active_submap_id), jnp.float32(z), jnp.float32(dz))
-        self.export_TSDF_xyz = np.array(xyz)
+        self.export_TSDF_xyz = np.stack(
+            [np.array(x), np.array(y), np.array(zc)], axis=1)
         self.export_TSDF = np.array(tsdf)
         self.export_color = np.array(color)
         self.num_TSDF_particles = int(n)
@@ -215,7 +221,8 @@ class DenseTSDF(BaseMap):
         num = self.count_active()
         cap = exports_ops.pow2_capacity(max(num, 1))
         idx, tsdf, w, occ, col, kept, _ = exports_ops.sparse_gather(
-            self.cfg, cap, self.state, jnp.int32(self.active_submap_id))
+            self.cfg, cap, self._export_block_bucket(), self.state,
+            jnp.int32(self.active_submap_id))
         k = int(kept)
         col_np = np.asarray(col)[:k] if self.enable_texture else np.array([])
         return (np.asarray(idx)[:k], np.asarray(tsdf)[:k],

@@ -87,30 +87,34 @@ class Octomap(BaseMap):
             jnp.asarray(kc), jnp.int32(self.active_submap_id))
 
     # -- exports ------------------------------------------------------------
-    def cvt_occupy_to_voxels(self, level=0):
-        xyz, color, n = occ_ops.occupy_export(
-            self.cfg, self.max_disp_particles, int(level), False, self.state,
+    def _occupy_export(self, capacity, level):
+        from taichislam_tpu.ops import exports as exports_ops
+        bcap = min(exports_ops.pow2_capacity(
+            int(self.state.num_blocks) + 1, lo=64), self.cfg.max_blocks)
+        ex, ey, ez, color, n = occ_ops.occupy_export(
+            self.cfg, capacity, int(level), bcap, self.state,
             jnp.asarray(self.submaps_base_R_np),
             jnp.asarray(self.submaps_base_T_np),
-            jnp.int32(self.active_submap_id), jnp.int32(0))
-        self.export_x = np.array(xyz)
-        self.export_color = np.array(color)
-        self.num_export_particles = int(n)
+            jnp.int32(self.active_submap_id))
+        xyz = np.stack([np.array(ex), np.array(ey), np.array(ez)], axis=1)
+        return xyz, np.array(color), int(n)
+
+    def cvt_occupy_to_voxels(self, level=0):
+        (self.export_x, self.export_color,
+         self.num_export_particles) = self._occupy_export(
+            self.max_disp_particles, level)
 
     def cvt_occupy_voxels_to(self, level, cur_num, max_disp_particles,
                              x, color):
-        """Append variant (taichi_octomap.py:104-114)."""
-        xyz, col, n = occ_ops.occupy_export(
-            self.cfg, max_disp_particles, int(level), True, self.state,
-            jnp.asarray(self.submaps_base_R_np),
-            jnp.asarray(self.submaps_base_T_np),
-            jnp.int32(self.active_submap_id), jnp.int32(cur_num))
-        kept = int(n) - cur_num
-        if kept > 0:
-            sl = slice(cur_num, cur_num + kept)
-            x[sl] = np.asarray(xyz)[cur_num:cur_num + kept]
-            color[sl] = np.asarray(col)[cur_num:cur_num + kept]
-        return int(n)
+        """Append variant (taichi_octomap.py:104-114); survivors are
+        compacted to the front, so appending is a slice copy."""
+        xyz, col, kept = self._occupy_export(max_disp_particles, level)
+        copy = min(kept, max(0, max_disp_particles - cur_num))
+        if copy > 0:
+            sl = slice(cur_num, cur_num + copy)
+            x[sl] = xyz[:copy]
+            color[sl] = col[:copy]
+        return cur_num + copy
 
     def get_occupy_voxels(self, l=0):
         self.cvt_occupy_to_voxels(l)

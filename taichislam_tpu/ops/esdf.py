@@ -421,41 +421,45 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         overflow
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def esdf_slice_export(cfg: TSDFConfig, capacity: int, state, esdf,
-                      participate, base_R, base_T, active_submap, z, dz):
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def esdf_slice_export(cfg: TSDFConfig, capacity: int, block_cap: int,
+                      state, esdf, participate, base_R, base_T,
+                      active_submap, z, dz):
     """cvt_ESDF_to_voxels_slice (dense_esdf.py:498-509): z-slice of the ESDF
-    with jet colors over [-max_ray/4, max_ray/4] for contrast."""
+    with jet colors over [-max_ray/4, max_ray/4] for contrast. Component
+    arrays + sort-based compaction (see ops/exports.py for the TPU layout
+    rationale); ``block_cap`` bucketed by the caller."""
     from taichislam_tpu.core.colormap import color_from_colormap
-    from taichislam_tpu.core.compaction import compact_mask
+    from taichislam_tpu.core.compaction import compact_sort
+    from taichislam_tpu.core.grid import block_origin_voxel
     from taichislam_tpu.ops.exports import (
-        _compact_blocks, _gathered_xyz, voxel_ijk_all)
+        _compact_blocks, _gathered_ijk_c, _gathered_xyz_c, _intra_offsets_np)
 
     spec = cfg.grid
     nb = spec.max_blocks + 1
     V3 = spec.voxels_per_block
-    kidx = voxel_ijk_all(spec, state)[..., 2].astype(jnp.float32).reshape(
-        nb, V3)
+    base = block_origin_voxel(spec, state.block_coords)       # (nb, 3)
+    kidx = (base[:, 2:3] + jnp.asarray(_intra_offsets_np(spec.V)[:, 2])
+            [None, :]).astype(jnp.float32)                    # (nb, V³)
     zindex = jnp.trunc(z / cfg.voxel_scale)
     pre_mask = participate.reshape(nb, V3) & (kidx > zindex - dz) & \
         (kidx < zindex + dz)
 
-    bcap = min(4096, spec.max_blocks)
-    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
-    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
-                           cfg.is_global_map)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, block_cap)
+    coords, ijk_c = _gathered_ijk_c(spec, state, slot_of)
+    x, y, zc = _gathered_xyz_c(spec, coords, ijk_c, base_R, base_T,
+                               cfg.is_global_map)
     mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
     esdf_g = jnp.take(esdf.reshape(nb, V3), slot_of, axis=0)
 
-    pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
-    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32).at[pos].set(
-        xyz.reshape(-1, 3), mode="drop")
-    out_esdf = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        esdf_g.reshape(-1), mode="drop")
+    outs, kept, _ = compact_sort(
+        mask.reshape(-1), capacity,
+        [x.reshape(-1), y.reshape(-1), zc.reshape(-1), esdf_g.reshape(-1)],
+        [-100000.0, -100000.0, -100000.0, 0.0])
     rng = cfg.max_ray_length / 4.0
-    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32).at[pos].set(
-        color_from_colormap(esdf_g.reshape(-1), -rng, rng), mode="drop")
-    return out_xyz[:capacity], out_esdf[:capacity], out_col[:capacity], kept
+    col = color_from_colormap(outs[3], -rng, rng)
+    col = jnp.where((jnp.arange(capacity) < kept)[:, None], col, 0.5)
+    return outs[0], outs[1], outs[2], outs[3], col, kept
 
 
 # kept for tests / debugging: the straightforward per-element formulation

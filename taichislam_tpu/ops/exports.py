@@ -99,20 +99,49 @@ def _gathered_xyz(spec, state, slot_of, base_R, base_T, is_global):
     return ijk, jnp.einsum("bij,bvj->bvi", R, local) + T[:, None, :]
 
 
-def _export_block_cap(cfg: TSDFConfig) -> int:
-    return min(4096, cfg.max_blocks)
+def _gathered_ijk_c(spec, state, slot_of):
+    """Compacted per-voxel signed ijk as component arrays: (coords (cap,4),
+    [ix, iy, iz] each (cap, V³) int32). Component form on purpose: a
+    stacked (cap, V³, 3) array pads its minor dim 3 -> 128 lanes on TPU."""
+    coords = jnp.take(state.block_coords, slot_of, axis=0)      # (cap, 4)
+    origin = block_origin_voxel(spec, coords)                   # (cap, 3)
+    off = _intra_offsets_np(spec.V)
+    comps = [origin[:, a:a + 1] + jnp.asarray(off[:, a])[None, :]
+             for a in range(3)]
+    return coords, comps
+
+
+def _gathered_xyz_c(spec, coords, ijk_c, base_R, base_T, is_global):
+    """World xyz components of the compacted voxels (componentwise
+    submap_i_j_k_to_xyz, mapping_common.py:229-232)."""
+    loc = [c.astype(jnp.float32) * spec.voxel_scale for c in ijk_c]
+    if is_global:
+        return loc
+    s = jnp.clip(coords[:, 0], 0, base_R.shape[0] - 1)          # (cap,)
+    out = []
+    for a in range(3):
+        out.append(jnp.take(base_R[:, a, 0], s)[:, None] * loc[0] +
+                   jnp.take(base_R[:, a, 1], s)[:, None] * loc[1] +
+                   jnp.take(base_R[:, a, 2], s)[:, None] * loc[2] +
+                   jnp.take(base_T[:, a], s)[:, None])
+    return out
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
-def tsdf_surface_export(cfg: TSDFConfig, capacity: int, add_mode: bool,
-                        state: GridState, base_R, base_T, active_submap,
-                        start_index):
+def tsdf_surface_export(cfg: TSDFConfig, capacity: int, block_cap: int,
+                        state: GridState, base_R, base_T, active_submap):
     """cvt_TSDF_surface_to_voxels (dense_tsdf.py:339-365).
 
-    Returns (xyz (capacity,3), color (capacity,3), tsdf (capacity,), count).
-    ``add_mode``/``start_index`` implement the ``*_to`` appending variant
-    (dense_tsdf.py:327-329) used for combined global+local display.
+    Returns (x, y, z, cr, cg, cb, tsdf — each (capacity,) — and count);
+    survivors are compacted to the front (linear-index order), so the
+    appending ``*_to`` variant (dense_tsdf.py:327-329) is a host-side
+    slice copy. Component outputs (the host stacks them) and a sort-based
+    compaction keep every intermediate free of minor-dim padding and
+    per-lane scatter costs; ``block_cap`` is bucketed by the caller from
+    the allocated block count.
     """
+    from taichislam_tpu.core.compaction import compact_sort
+
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
@@ -123,68 +152,67 @@ def tsdf_surface_export(cfg: TSDFConfig, capacity: int, add_mode: bool,
     pre_mask = _active_voxel_mask(spec, state, active_submap) & obs & \
         (jnp.abs(tsdf_full) < cfg.tsdf_surface_thres)
 
-    bcap = _export_block_cap(cfg)
-    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
-    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
-                           cfg.is_global_map)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, block_cap)
+    coords, ijk_c = _gathered_ijk_c(spec, state, slot_of)
+    x, y, z = _gathered_xyz_c(spec, coords, ijk_c, base_R, base_T,
+                              cfg.is_global_map)
     mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
-    mask &= (xyz[..., 2] <= cfg.disp_ceiling) & (xyz[..., 2] >= cfg.disp_floor)
+    mask &= (z <= cfg.disp_ceiling) & (z >= cfg.disp_floor)
     tsdf = jnp.take(tsdf_full, slot_of, axis=0)
 
-    pos, kept, total = compact_mask(mask.reshape(-1), capacity)
-    pos = jnp.where(add_mode, jnp.where(pos < capacity, pos + start_index,
-                                        capacity), pos)
-    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
-    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
-    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32)
-
-    xyz_f = xyz.reshape(-1, 3)
+    ops = [x.reshape(-1), y.reshape(-1), z.reshape(-1), tsdf.reshape(-1)]
+    fills = [-100000.0, -100000.0, -100000.0, 0.0]
     if cfg.texture_enabled:
-        col_f = jnp.take(ch["color"].reshape(nb, V3, 3), slot_of,
-                         axis=0).reshape(-1, 3).astype(jnp.float32)
+        colg = jnp.take(ch["color"].reshape(nb, V3, 3), slot_of, axis=0)
+        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+                for a in range(3)]
+        fills += [0.5, 0.5, 0.5]
+    outs, kept, total = compact_sort(mask.reshape(-1), capacity, ops, fills)
+    if cfg.texture_enabled:
+        col = jnp.stack(outs[4:7], axis=-1)
     else:
-        col_f = color_from_colormap(xyz_f[:, 2], cfg.disp_floor,
-                                    cfg.disp_ceiling)
-    out_xyz = out_xyz.at[pos].set(xyz_f, mode="drop")
-    out_col = out_col.at[pos].set(col_f, mode="drop")
-    out_tsdf = out_tsdf.at[pos].set(tsdf.reshape(-1), mode="drop")
-    count = jnp.where(add_mode, start_index + kept, kept)
-    return out_xyz[:capacity], out_col[:capacity], out_tsdf[:capacity], count
+        # colormap on the (capacity,)-sized output, not the input lanes
+        col = color_from_colormap(outs[2], cfg.disp_floor, cfg.disp_ceiling)
+        col = jnp.where((jnp.arange(capacity) < kept)[:, None], col, 0.5)
+    return outs[0], outs[1], outs[2], col, outs[3], kept
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def tsdf_slice_export(cfg: TSDFConfig, capacity: int, state: GridState,
-                      base_R, base_T, active_submap, z, dz):
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def tsdf_slice_export(cfg: TSDFConfig, capacity: int, block_cap: int,
+                      state: GridState, base_R, base_T, active_submap,
+                      z, dz):
     """cvt_TSDF_to_voxels_slice (dense_tsdf.py:367-389): voxels whose signed
     z-index k satisfies ``_index - dz < k < _index + dz`` with
     ``_index = int(z/voxel)``; colors = jet(TSDF in [-0.5, 0.5])."""
+    from taichislam_tpu.core.compaction import compact_sort
+
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
     V3 = spec.voxels_per_block
     obs = ch["TSDF_observed"].reshape(nb, V3) > 0
-    kidx = voxel_ijk_all(spec, state)[..., 2].astype(jnp.float32)
+    base = block_origin_voxel(spec, state.block_coords)         # (nb, 3)
+    kidx = (base[:, 2:3] + jnp.asarray(_intra_offsets_np(spec.V)[:, 2])
+            [None, :]).astype(jnp.float32)                      # (nb, V³)
     zindex = jnp.trunc(z / cfg.voxel_scale)
     pre_mask = _active_voxel_mask(spec, state, active_submap) & obs
     pre_mask &= (kidx > zindex - dz) & (kidx < zindex + dz)
 
-    bcap = _export_block_cap(cfg)
-    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
-    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
-                           cfg.is_global_map)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, block_cap)
+    coords, ijk_c = _gathered_ijk_c(spec, state, slot_of)
+    x, y, zc = _gathered_xyz_c(spec, coords, ijk_c, base_R, base_T,
+                               cfg.is_global_map)
     mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
     tsdf = jnp.take(ch["TSDF"].reshape(nb, V3), slot_of,
                     axis=0).astype(jnp.float32)
 
-    pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
-    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
-    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32)
-    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
-    out_xyz = out_xyz.at[pos].set(xyz.reshape(-1, 3), mode="drop")
-    out_tsdf = out_tsdf.at[pos].set(tsdf.reshape(-1), mode="drop")
-    out_col = out_col.at[pos].set(
-        color_from_colormap(tsdf.reshape(-1), -0.5, 0.5), mode="drop")
-    return out_xyz[:capacity], out_tsdf[:capacity], out_col[:capacity], kept
+    outs, kept, _ = compact_sort(
+        mask.reshape(-1), capacity,
+        [x.reshape(-1), y.reshape(-1), zc.reshape(-1), tsdf.reshape(-1)],
+        [-100000.0, -100000.0, -100000.0, 0.0])
+    col = color_from_colormap(outs[3], -0.5, 0.5)
+    col = jnp.where((jnp.arange(capacity) < kept)[:, None], col, 0.5)
+    return outs[0], outs[1], outs[2], outs[3], col, kept
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -198,12 +226,16 @@ def count_active(cfg: TSDFConfig, state: GridState, active_submap):
     return jnp.sum(mask.astype(jnp.int32))
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def sparse_gather(cfg: TSDFConfig, capacity: int, state: GridState,
-                  active_submap):
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def sparse_gather(cfg: TSDFConfig, capacity: int, block_cap: int,
+                  state: GridState, active_submap):
     """to_numpy (dense_tsdf.py:425-440): gather the active submap's observed
     voxels as (indices, TSDF, W_TSDF, occupy, color) with static capacity.
-    The host slices the result to the true count."""
+    The host slices the result to the true count. ``block_cap`` must cover
+    the allocated block count (serialization is exhaustive); the caller
+    buckets it from ``state.num_blocks``."""
+    from taichislam_tpu.core.compaction import compact_sort
+
     spec = cfg.grid
     ch = state.channels
     nb = spec.max_blocks + 1
@@ -211,33 +243,29 @@ def sparse_gather(cfg: TSDFConfig, capacity: int, state: GridState,
     obs = ch["TSDF_observed"].reshape(nb, V3) > 0
     pre_mask = _active_voxel_mask(spec, state, active_submap) & obs
 
-    # serialization must be exhaustive: block cap = all blocks
-    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, spec.max_blocks)
-    ijk, _ = _gathered_xyz(spec, state, slot_of, jnp.zeros((1, 3, 3)),
-                           jnp.zeros((1, 3)), True)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, block_cap)
+    coords, ijk_c = _gathered_ijk_c(spec, state, slot_of)
     mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
 
     def g(channel, extra=()):
         return jnp.take(channel.reshape((nb, V3) + extra), slot_of, axis=0)
 
-    pos, kept, total = compact_mask(mask.reshape(-1), capacity)
-    out_idx = jnp.zeros((capacity + 1, 3), jnp.int32).at[pos].set(
-        ijk.reshape(-1, 3), mode="drop")
-    out_tsdf = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        g(ch["TSDF"]).reshape(-1).astype(jnp.float32), mode="drop")
-    out_w = jnp.zeros((capacity + 1,), jnp.float32).at[pos].set(
-        g(ch["W_TSDF"]).reshape(-1).astype(jnp.float32), mode="drop")
-    out_occ = jnp.zeros((capacity + 1,), jnp.int8).at[pos].set(
-        g(ch["occupy"]).reshape(-1), mode="drop")
+    ops = [c.reshape(-1) for c in ijk_c] + [
+        g(ch["TSDF"]).reshape(-1).astype(jnp.float32),
+        g(ch["W_TSDF"]).reshape(-1).astype(jnp.float32),
+        g(ch["occupy"]).reshape(-1)]
+    fills = [0, 0, 0, 0.0, 0.0, 0]
     if cfg.texture_enabled:
-        out_col = jnp.zeros((capacity + 1, 3), jnp.float32).at[pos].set(
-            g(ch["color"], (3,)).reshape(-1, 3).astype(jnp.float32),
-            mode="drop")
-    else:
-        out_col = jnp.zeros((0, 3), jnp.float32)
-    return (out_idx[:capacity], out_tsdf[:capacity], out_w[:capacity],
-            out_occ[:capacity], out_col[:capacity] if cfg.texture_enabled
-            else out_col, kept, total)
+        colg = g(ch["color"], (3,))
+        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+                for a in range(3)]
+        fills += [0.0, 0.0, 0.0]
+    outs, kept, total = compact_sort(mask.reshape(-1), capacity, ops, fills)
+    out_idx = jnp.stack(outs[0:3], axis=-1)
+    out_col = jnp.stack(outs[6:9], axis=-1) if cfg.texture_enabled else \
+        jnp.zeros((0, 3), jnp.float32)
+    return (out_idx, outs[3], outs[4], outs[5].astype(jnp.int8), out_col,
+            kept, total)
 
 
 @partial(jax.jit, static_argnums=(0,))

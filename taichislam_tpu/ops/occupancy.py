@@ -105,17 +105,22 @@ def integrate_depth(cfg: OctomapConfig, state: GridState, depth_mm, texture,
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
-                  add_mode: bool, state: GridState, base_R, base_T,
-                  active_submap, start_index):
+                  block_cap: int, state: GridState, base_R, base_T,
+                  active_submap):
     """cvt_occupy_to_voxels(level) (taichi_octomap.py:90-114).
 
     The reference iterates SNode level ``level`` above the leaves, reading
     the occupancy of each cell's corner voxel; equivalently we subsample the
     voxel lattice at stride ``K**level`` and keep corner voxels whose count
-    exceeds the threshold. Two-level compaction: occupied blocks first, then
-    voxels within them.
+    exceeds the threshold. Two-level: occupied blocks are compacted first
+    (``block_cap`` bucketed by the caller), then a sort-based compaction
+    over the gathered lanes — component arrays throughout (see
+    ops/exports.py for the TPU layout rationale). Survivors land at the
+    front, so the appending display variant is a host-side slice copy.
     """
-    from taichislam_tpu.ops.exports import _compact_blocks, _gathered_xyz
+    from taichislam_tpu.core.compaction import compact_sort
+    from taichislam_tpu.ops.exports import (
+        _compact_blocks, _gathered_ijk_c, _gathered_xyz_c, _intra_offsets_np)
 
     spec = cfg.grid
     stride = cfg.K ** level
@@ -124,31 +129,34 @@ def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
     pre_mask = _active_voxel_mask(spec, state, active_submap)
     pre_mask &= occ_full > cfg.min_occupy_thres
     if stride > 1:
-        ijk_all = voxel_ijk_all(spec, state)
-        pre_mask &= jnp.all(ijk_all % stride == 0, axis=-1)
+        from taichislam_tpu.core.grid import block_origin_voxel
+        base = block_origin_voxel(spec, state.block_coords)   # (nb, 3)
+        off = _intra_offsets_np(spec.V)
+        for a in range(3):
+            comp = base[:, a:a + 1] + jnp.asarray(off[:, a])[None, :]
+            pre_mask &= comp % stride == 0
 
-    bcap = min(4096, spec.max_blocks)
-    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, bcap)
-    _, xyz = _gathered_xyz(spec, state, slot_of, base_R, base_T,
-                           cfg.is_global_map)
+    slot_of, bvalid, _, _ = _compact_blocks(spec, pre_mask, block_cap)
+    coords, ijk_c = _gathered_ijk_c(spec, state, slot_of)
+    x, y, z = _gathered_xyz_c(spec, coords, ijk_c, base_R, base_T,
+                              cfg.is_global_map)
     mask = jnp.take(pre_mask, slot_of, axis=0) & bvalid[:, None]
 
-    pos, kept, _ = compact_mask(mask.reshape(-1), capacity)
-    pos = jnp.where(add_mode, jnp.where(pos < capacity, pos + start_index,
-                                        capacity), pos)
-    out_xyz = jnp.full((capacity + 1, 3), -100000.0, jnp.float32)
-    out_col = jnp.full((capacity + 1, 3), 0.5, jnp.float32)
-    out_xyz = out_xyz.at[pos].set(xyz.reshape(-1, 3), mode="drop")
+    ops = [x.reshape(-1), y.reshape(-1), z.reshape(-1)]
+    fills = [-100000.0] * 3
     if cfg.texture_enabled:
-        col = jnp.take(state.channels["color"].reshape(nb, -1, 3), slot_of,
-                       axis=0).reshape(-1, 3)
+        colg = jnp.take(state.channels["color"].reshape(nb, -1, 3), slot_of,
+                        axis=0)
+        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+                for a in range(3)]
+        fills += [0.5, 0.5, 0.5]
+    outs, kept, _ = compact_sort(mask.reshape(-1), capacity, ops, fills)
+    if cfg.texture_enabled:
+        col = jnp.stack(outs[3:6], axis=-1)
     else:
-        xyz_f = xyz.reshape(-1, 3)
-        col = color_from_colormap(xyz_f[:, 2], cfg.disp_floor,
-                                  cfg.disp_ceiling)
-    out_col = out_col.at[pos].set(col, mode="drop")
-    count = jnp.where(add_mode, start_index + kept, kept)
-    return out_xyz[:capacity], out_col[:capacity], count
+        col = color_from_colormap(outs[2], cfg.disp_floor, cfg.disp_ceiling)
+        col = jnp.where((jnp.arange(capacity) < kept)[:, None], col, 0.5)
+    return outs[0], outs[1], outs[2], col, kept
 
 
 @partial(jax.jit, static_argnums=(0, 1))

@@ -30,7 +30,7 @@ from taichislam_tpu.core.grid import (
     scatter_set,
     voxel_to_block,
 )
-from taichislam_tpu.ops.exports import voxel_ijk_all, voxel_xyz_all, _active_voxel_mask
+from taichislam_tpu.ops.exports import _active_voxel_mask
 
 
 def make_octomap_state(cfg: OctomapConfig) -> GridState:
@@ -167,6 +167,9 @@ def fuse_submaps(sub_cfg: OctomapConfig, glob_cfg: OctomapConfig,
     voxel over threshold, add its count at the nearest global voxel; color is
     overwritten (the reference's blend is commented out). The submap
     collection and the global map may have different grid extents."""
+    from taichislam_tpu.core.grid import block_origin_voxel, voxel_to_block_c
+    from taichislam_tpu.ops.exports import _intra_offsets_np
+
     spec = sub_cfg.grid
     gspec = glob_cfg.grid
     nb = spec.max_blocks + 1
@@ -177,11 +180,25 @@ def fuse_submaps(sub_cfg: OctomapConfig, glob_cfg: OctomapConfig,
     mask = jnp.broadcast_to(src_ok[:, None], occ.shape) & (
         occ > sub_cfg.min_occupy_thres)
 
-    xyz = voxel_xyz_all(spec, sub_state, base_R, base_T, is_global=False)
-    gijk = geometry.xyz_to_ijk(xyz, glob_cfg.voxel_scale)
+    # componentwise submap->world->global-voxel transform: a stacked
+    # (nb*V^3, 3) world-xyz array pads its minor dim to 128 lanes on TPU
+    # (2 GB at 1024 blocks) — see ops/fusion.py for the same treatment
+    base = block_origin_voxel(spec, sub_state.block_coords)    # (nb, 3)
+    off = _intra_offsets_np(spec.V)
+    s = jnp.clip(src_sub, 0, base_R.shape[0] - 1)
+    loc = [(base[:, a:a + 1] + jnp.asarray(off[:, a])[None, :]).astype(
+        jnp.float32) * spec.voxel_scale for a in range(3)]
+    gc = []
+    for a in range(3):
+        wa = (jnp.take(base_R[:, a, 0], s)[:, None] * loc[0] +
+              jnp.take(base_R[:, a, 1], s)[:, None] * loc[1] +
+              jnp.take(base_R[:, a, 2], s)[:, None] * loc[2] +
+              jnp.take(base_T[:, a], s)[:, None])
+        gc.append(geometry.round_half_away(
+            wa / glob_cfg.voxel_scale).astype(jnp.int32))
 
-    s0 = jnp.zeros(gijk.shape[:-1], jnp.int32)
-    blin, intra, inb = voxel_to_block(gspec, s0, gijk)
+    blin, intra, inb = voxel_to_block_c(gspec, jnp.int32(0), gc[0], gc[1],
+                                        gc[2])
     ok = mask & inb
     global_state = allocate_blocks(gspec, global_state, blin.reshape(-1),
                                    ok.reshape(-1), jnp.int32(0))

@@ -30,12 +30,14 @@ def main():
 
     import dataclasses
 
-    # max_blocks sized ~3x the scene's surface blocks: the scan carry copies
-    # the whole state each frame on this relay, so capacity = cost
+    # max_blocks sized ~2x the scene's 130 allocated blocks (the zero-drop
+    # guard below counts alloc_overflow, so an under-sized capacity cannot
+    # silently cheat): the scan carry copies the whole state each frame on
+    # this relay, so capacity = cost
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
-        max_blocks=1024, max_bins=32768, max_submap_num=64)
+        max_blocks=256, max_bins=32768, max_submap_num=64)
     state = tsdf_ops.make_tsdf_state(cfg)
 
     h, w = 480, 640

@@ -43,7 +43,8 @@ class GridState(NamedTuple):
         block_active: bool (max_blocks + 1,).
         num_blocks: int32 scalar, allocated slot count.
         alloc_overflow: int32 scalar, dropped allocations (capacity misses).
-        channels: dict name -> (max_blocks + 1, V^3[, C]) arrays.
+        channels: dict name -> (max_blocks + 1[, C], V^3) arrays (the
+            component axis precedes the voxel axis; see make_grid_state).
     """
 
     table: jax.Array
@@ -61,8 +62,11 @@ def make_grid_state(spec: GridSpec, channel_defs: Dict[str, Tuple]) -> GridState
     extra_shape is () for scalar voxels or (3,) for e.g. RGB.
     """
     nb = spec.max_blocks + 1
+    # multi-component channels (color) put the component axis BEFORE the
+    # voxel axis: a (nb, V^3, 3) array would pad its 3-wide minor dim to
+    # 128 lanes on TPU (42x HBM); (nb, C, V^3) lanes align exactly
     channels = {
-        name: jnp.zeros((nb, spec.voxels_per_block) + tuple(extra),
+        name: jnp.zeros((nb,) + tuple(extra) + (spec.voxels_per_block,),
                         dtype=dtype)
         for name, (dtype, extra) in channel_defs.items()
     }
@@ -240,10 +244,14 @@ def reset_grid(state: GridState) -> GridState:
 # ---------------------------------------------------------------------------
 
 def channel_flat(channel):
-    """View (B, V^3[, C]) as (B*V^3[, C])."""
-    b, v3 = channel.shape[0], channel.shape[1]
-    extra = channel.shape[2:]
-    return channel.reshape((b * v3,) + extra)
+    """View a scalar channel (B, V^3) as (B*V^3,)."""
+    return channel.reshape(-1)
+
+
+def comp_flat_index(spec: GridSpec, slot, intra_lin, comp: int):
+    """Address component ``comp`` of a (nb, C, V^3) channel viewed flat as
+    (nb*C*V^3,), for C = 3 (color)."""
+    return (slot * 3 + comp) * spec.voxels_per_block + intra_lin
 
 
 def channel_unflat(flat, like):

@@ -163,8 +163,8 @@ def tsdf_surface_export(cfg: TSDFConfig, capacity: int, block_cap: int,
     ops = [x.reshape(-1), y.reshape(-1), z.reshape(-1), tsdf.reshape(-1)]
     fills = [-100000.0, -100000.0, -100000.0, 0.0]
     if cfg.texture_enabled:
-        colg = jnp.take(ch["color"].reshape(nb, V3, 3), slot_of, axis=0)
-        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+        colg = jnp.take(ch["color"], slot_of, axis=0)   # (cap, 3, V^3)
+        ops += [colg[:, a, :].reshape(-1).astype(jnp.float32)
                 for a in range(3)]
         fills += [0.5, 0.5, 0.5]
     outs, kept, total = compact_sort(mask.reshape(-1), capacity, ops, fills)
@@ -256,8 +256,8 @@ def sparse_gather(cfg: TSDFConfig, capacity: int, block_cap: int,
         g(ch["occupy"]).reshape(-1)]
     fills = [0, 0, 0, 0.0, 0.0, 0]
     if cfg.texture_enabled:
-        colg = g(ch["color"], (3,))
-        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+        colg = jnp.take(ch["color"], slot_of, axis=0)   # (cap, 3, V^3)
+        ops += [colg[:, a, :].reshape(-1).astype(jnp.float32)
                 for a in range(3)]
         fills += [0.0, 0.0, 0.0]
     outs, kept, total = compact_sort(mask.reshape(-1), capacity, ops, fills)
@@ -300,8 +300,14 @@ def sparse_scatter(cfg: TSDFConfig, state: GridState, submap_id, indices,
         jnp.where(ok, 1, 0).astype(jnp.int8)).reshape(
         ch["TSDF_observed"].shape)
     if cfg.texture_enabled:
-        ch["color"] = ch["color"].reshape(nvox, 3).at[flat].set(
-            color.astype(cfg.dtype)).reshape(ch["color"].shape)
+        from taichislam_tpu.core.grid import comp_flat_index
+        colf = ch["color"].reshape(-1)
+        for a in range(3):
+            idx = comp_flat_index(spec, slots, intra, a)
+            idx = jnp.where(ok, idx, colf.shape[0])
+            colf = colf.at[idx].set(color[:, a].astype(cfg.dtype),
+                                    mode="drop")
+        ch["color"] = colf.reshape(ch["color"].shape)
     for k in ch:
         ch[k] = ch[k].at[-1].set(jnp.zeros_like(ch[k][-1]))
     return state._replace(channels=ch)

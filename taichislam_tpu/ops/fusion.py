@@ -51,7 +51,7 @@ class SplatContribs(NamedTuple):
     w: jax.Array         # (L,) splat weights (w_tsdf * trilinear)
     wd: jax.Array        # (L,) w * tsdf
     occ: jax.Array       # (L,) int32 occupancy counts
-    wc: jax.Array        # (L, 3) w * color
+    wc: jax.Array        # (3, L) w * color, component axis leading
     kept: jax.Array      # () sources used
     dropped: jax.Array   # () sources in blocks beyond capacity
 
@@ -146,17 +146,20 @@ def splat_contributions(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
     okf = jnp.concatenate(ok_l)
     w_splat = jnp.concatenate(w_l)
     if sub_cfg.texture_enabled:
-        src_col = grow(ch["color"]).astype(jnp.float32).reshape(-1, 3)
-        wc_splat = w_splat[:, None] * jnp.tile(src_col, (7, 1))
+        colg = grow(ch["color"]).astype(jnp.float32)        # (bcap, 3, V3)
+        # (3, L) with the component axis leading (minor-dim-3 arrays pad
+        # to 128 lanes); w is already zero on masked lanes
+        wc_splat = jnp.stack(
+            [w_splat * jnp.tile(colg[:, a, :].reshape(-1), 7)
+             for a in range(3)], axis=0)
     else:
-        wc_splat = jnp.zeros((bcap * V3 * 7, 3), jnp.float32)
+        wc_splat = jnp.zeros((3, bcap * V3 * 7), jnp.float32)
 
     return SplatContribs(
         blin=jnp.concatenate(blin_l), ok=okf,
         intra=jnp.concatenate(intra_l), w=w_splat,
         wd=jnp.concatenate(wd_l), occ=jnp.concatenate(occ_l),
-        wc=jnp.where(okf[:, None], wc_splat, 0.0),
-        kept=kept, dropped=total - kept)
+        wc=wc_splat, kept=kept, dropped=total - kept)
 
 
 def accumulate_dense(glob_cfg: TSDFConfig, global_state: GridState,
@@ -181,7 +184,10 @@ def scatter_accumulators(glob_cfg: TSDFConfig, global_state: GridState,
     w_sum = jnp.zeros((nvox,), jnp.float32).at[flat].add(c.w)
     wd_sum = jnp.zeros((nvox,), jnp.float32).at[flat].add(c.wd)
     occ_sum = jnp.zeros((nvox,), jnp.int32).at[flat].add(c.occ)
-    wc_sum = jnp.zeros((nvox, 3), jnp.float32).at[flat].add(c.wc)
+    # componentwise flat scatters (a windowed (L, 3) scatter is ~8x slower)
+    wc_sum = jnp.stack(
+        [jnp.zeros((nvox,), jnp.float32).at[flat].add(c.wc[a])
+         for a in range(3)], axis=0)
     return w_sum, wd_sum, occ_sum, wc_sum
 
 
@@ -205,12 +211,16 @@ def combine_accumulators(glob_cfg: TSDFConfig, global_state: GridState,
     occ_g = gch["occupy"].reshape(nvox).astype(jnp.int32) + occ_sum
     gch["occupy"] = occ_g.astype(jnp.int8).reshape(gch["occupy"].shape)
     if glob_cfg.texture_enabled:
-        col_g = gch["color"].reshape(nvox, 3).astype(jnp.float32)
-        new_col = jnp.where(touched[:, None],
-                            (col_g * W[:, None] + wc_sum) /
-                            jnp.maximum(new_W, 1e-20)[:, None], col_g)
-        gch["color"] = new_col.astype(glob_cfg.dtype).reshape(
-            gch["color"].shape)
+        nb = gspec.max_blocks + 1
+        V3 = gspec.voxels_per_block
+        col = gch["color"]                                   # (nb, 3, V3)
+        den = jnp.maximum(new_W, 1e-20)
+        for a in range(3):
+            c_a = col[:, a, :].reshape(nvox).astype(jnp.float32)
+            new_a = jnp.where(touched, (c_a * W + wc_sum[a]) / den, c_a)
+            col = col.at[:, a, :].set(
+                new_a.astype(glob_cfg.dtype).reshape(nb, V3))
+        gch["color"] = col
     for k in gch:
         gch[k] = gch[k].at[-1].set(jnp.zeros_like(gch[k][-1]))
     return global_state._replace(channels=gch)
@@ -219,7 +229,7 @@ def combine_accumulators(glob_cfg: TSDFConfig, global_state: GridState,
 def _use_pallas_fusion(glob_cfg: TSDFConfig) -> bool:
     from taichislam_tpu.ops.pallas.seg_accum import SENTINEL_BLOCK
     gspec = glob_cfg.grid
-    if glob_cfg.pallas_accum == "off" or glob_cfg.texture_enabled:
+    if glob_cfg.pallas_accum == "off":
         return False
     if gspec.voxels_per_block % 128 != 0:
         return False
@@ -254,8 +264,11 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         V3 = gspec.voxels_per_block
         bkey = jnp.where(c.ok, c.blin, SENTINEL_BLOCK)
         occ_f = c.occ.astype(jnp.float32)
+        vals = (c.w, c.wd, occ_f)
+        if glob_cfg.texture_enabled:
+            vals = vals + (c.wc[0], c.wc[1], c.wc[2])
         touched, acc, n_touched = segmented_block_reduce(
-            bkey, jnp.where(c.ok, c.intra, 0), (c.w, c.wd, occ_f), V3,
+            bkey, jnp.where(c.ok, c.intra, 0), vals, V3,
             glob_cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"))
         tiles_dropped = jnp.maximum(
@@ -295,6 +308,20 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         gch["occupy"] = gch["occupy"].reshape(-1, V3).at[tgt].set(
             (occ_old + occ_sum.astype(jnp.int32)).astype(jnp.int8),
             mode="drop").reshape(gch["occupy"].shape)
+        if glob_cfg.texture_enabled:
+            # same weighted merge as combine_accumulators, on touched rows
+            col2 = gch["color"].reshape(-1, V3)  # rows = slot * 3 + comp
+            den = jnp.maximum(new_W, 1e-20)
+            for a in range(3):
+                wc_a = jnp.where(row_ok[:, None], acc[:, 3 + a, :], 0.0)
+                rows_a = jnp.take(col2, slots * 3 + a,
+                                  axis=0).astype(jnp.float32)
+                new_a = jnp.where(touched_v, (rows_a * W + wc_a) / den,
+                                  rows_a)
+                tgt_a = jnp.where(row_ok, slots * 3 + a, col2.shape[0])
+                col2 = col2.at[tgt_a].set(new_a.astype(glob_cfg.dtype),
+                                          mode="drop")
+            gch["color"] = col2.reshape(gch["color"].shape)
         for k in gch:
             gch[k] = gch[k].at[-1].set(jnp.zeros_like(gch[k][-1]))
         global_state = global_state._replace(channels=gch)

@@ -217,13 +217,13 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
         cv = _corner_values_halo(th, V).reshape(cap, -1, 8)   # (cap, V³, 8)
         cobs = _corner_values_halo(oh, V).reshape(cap, -1, 8)
         if cfg.texture_enabled:
-            col_t = state.channels["color"].astype(jnp.float32)
+            col_t = state.channels["color"].astype(jnp.float32)  # (nb,3,V³)
             ccol = jnp.stack(
                 [_corner_values_halo(
                     assemble_halo(src, nsl, V, 0.0,
                                   center=gtile(src, 0.0)),
                     V).reshape(cap, -1, 8)
-                 for src in (col_t[..., c].at[-1].set(0.0).reshape(
+                 for src in (col_t[:, c, :].at[-1].set(0.0).reshape(
                      nb, V, V, V) for c in range(3))], axis=-1)  # (cap,V³,8,3)
     else:
         cell_ijk_c = origin_c[:, None, :] + _intra_np(V)[None]
@@ -233,8 +233,14 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
         cv = _lookup(spec, state, "TSDF", s_arr, corners).astype(jnp.float32)
         cobs = _lookup(spec, state, "TSDF_observed", s_arr, corners) > 0
         if cfg.texture_enabled:
-            ccol = _lookup(spec, state, "color", s_arr, corners).astype(
-                jnp.float32)
+            col_t = state.channels["color"]                     # (nb,3,V³)
+            blin_c, intra_c, _ = voxel_to_block(spec, s_arr, corners)
+            slots_c = lookup_slots(spec, state.table, blin_c)
+            ccol = jnp.stack(
+                [jnp.take(col_t[:, c, :].reshape(-1),
+                          flat_voxel_index(spec, slots_c, intra_c),
+                          axis=0, mode="fill", fill_value=0)
+                 for c in range(3)], axis=-1).astype(jnp.float32)
 
     anchor_c = jnp.take(anchor.reshape(nb, -1), slot_of, axis=0)  # (cap, V³)
     cell_ok = anchor_c & bvalid[:, None] & jnp.all(cobs, axis=-1)

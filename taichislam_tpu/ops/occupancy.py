@@ -57,10 +57,15 @@ def _scatter_hits(cfg: OctomapConfig, state: GridState, pts_map, colors,
     ch["occupy"] = scatter_add(ch["occupy"], flat,
                                ok.astype(jnp.float32))
     if cfg.texture_enabled and colors is not None:
-        # BGR -> RGB swap + /255 (taichi_octomap.py:120-124)
-        rgb = jnp.stack([colors[..., 2], colors[..., 1], colors[..., 0]],
-                        axis=-1).astype(jnp.float32) / 255.0
-        ch["color"] = scatter_set(ch["color"], flat, rgb)
+        # BGR -> RGB swap + /255 (taichi_octomap.py:120-124), componentwise
+        from taichislam_tpu.core.grid import comp_flat_index
+        colf = ch["color"].reshape(-1)
+        for a in range(3):
+            idx = comp_flat_index(spec, slots, intra, a)
+            idx = jnp.where(ok, idx, colf.shape[0])
+            colf = colf.at[idx].set(
+                colors[..., 2 - a].astype(jnp.float32) / 255.0, mode="drop")
+        ch["color"] = colf.reshape(ch["color"].shape)
     for k in ch:
         ch[k] = ch[k].at[-1].set(jnp.zeros_like(ch[k][-1]))
     return state._replace(channels=ch)
@@ -145,9 +150,8 @@ def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
     ops = [x.reshape(-1), y.reshape(-1), z.reshape(-1)]
     fills = [-100000.0] * 3
     if cfg.texture_enabled:
-        colg = jnp.take(state.channels["color"].reshape(nb, -1, 3), slot_of,
-                        axis=0)
-        ops += [colg[..., a].reshape(-1).astype(jnp.float32)
+        colg = jnp.take(state.channels["color"], slot_of, axis=0)
+        ops += [colg[:, a, :].reshape(-1).astype(jnp.float32)
                 for a in range(3)]
         fills += [0.5, 0.5, 0.5]
     outs, kept, _ = compact_sort(mask.reshape(-1), capacity, ops, fills)
@@ -211,8 +215,16 @@ def fuse_submaps(sub_cfg: OctomapConfig, glob_cfg: OctomapConfig,
     ch["occupy"] = scatter_add(ch["occupy"], flat,
                                jnp.where(ok, occ, 0.0).reshape(-1))
     if sub_cfg.texture_enabled:
-        col = sub_state.channels["color"].reshape(-1, 3)
-        ch["color"] = scatter_set(ch["color"], flat, col)
+        from taichislam_tpu.core.grid import comp_flat_index
+        colf = ch["color"].reshape(-1)
+        okf = ok.reshape(-1)
+        intra_f = intra.reshape(-1)
+        for a in range(3):
+            src = sub_state.channels["color"][:, a, :].reshape(-1)
+            idx = comp_flat_index(gspec, slots, intra_f, a)
+            idx = jnp.where(okf, idx, colf.shape[0])
+            colf = colf.at[idx].set(src, mode="drop")
+        ch["color"] = colf.reshape(ch["color"].shape)
     for k in ch:
         ch[k] = ch[k].at[-1].set(jnp.zeros_like(ch[k][-1]))
     return global_state._replace(channels=ch)

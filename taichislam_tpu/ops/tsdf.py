@@ -45,6 +45,7 @@ from taichislam_tpu.core import geometry
 from taichislam_tpu.core.grid import (
     GridState,
     allocate_blocks,
+    comp_flat_index,
     flat_voxel_index,
     lookup_slots,
     make_grid_state,
@@ -278,18 +279,16 @@ def _march_lattice(cfg: TSDFConfig, bins: Bins, T):
 
 
 def _use_pallas_accum(cfg: TSDFConfig) -> bool:
-    """Gate for the Pallas sorted segmented-reduce accumulation: key packing
-    needs rel_block * V3 + intra < SENTINEL_KEY, and textured integration
-    still uses the scatter path (per-lane color writes)."""
-    if cfg.pallas_accum == "off" or cfg.texture_enabled:
+    """Gate for the Pallas sorted segmented-reduce accumulation. Textured
+    integration runs through it too (color as 3 extra reduction values,
+    per-frame weighted mean — see the deviation note in `integrate`)."""
+    if cfg.pallas_accum == "off":
         return False
-    from taichislam_tpu.ops.pallas.seg_accum import (
-        SENTINEL_BLOCK, SENTINEL_KEY)
+    from taichislam_tpu.ops.pallas.seg_accum import SENTINEL_BLOCK
     spec = cfg.grid
     if spec.voxels_per_block % 128 != 0:
         return False  # kernel tiles factor the voxel index as hi*128 + lo
-    if (spec.blocks_per_submap >= SENTINEL_BLOCK or
-            spec.blocks_per_submap * spec.voxels_per_block >= SENTINEL_KEY):
+    if spec.blocks_per_submap >= SENTINEL_BLOCK:
         return False
     if cfg.pallas_accum == "on":
         return True
@@ -345,19 +344,36 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     ch = dict(state.channels)
     touched_dropped = jnp.int32(0)
 
+    if cfg.texture_enabled:
+        c = jnp.maximum(bins.count, 1.0)
+        bin_rgb = bins.sum_color / c[:, None] / 255.0  # dense_tsdf.py:268-269
+        # per-lane bin color, componentwise (a (N, 3) stack pads 3 -> 128)
+        rgb_m = [jnp.where(mask_m, jnp.broadcast_to(
+            bin_rgb[:, a:a + 1], live.shape).reshape(-1), 0.0)
+            for a in range(3)]
+
     if _use_pallas_accum(cfg):
         # Pallas path: sort lanes by (block, intra) key and segmented-reduce
         # in VMEM — one tile write per touched block instead of one scatter
         # transaction per lane (2.7x faster on v5e; see ops/pallas/seg_accum)
         from taichislam_tpu.ops.pallas.seg_accum import (
-            SENTINEL_KEY, segmented_block_accumulate)
+            SENTINEL_BLOCK, segmented_block_reduce)
         V3 = spec.voxels_per_block
         lo = active_submap.astype(jnp.int32) * spec.blocks_per_submap
         rel = blin_m.reshape(-1) - lo
-        keys = jnp.where(mask_m & (rel >= 0) & (rel < spec.blocks_per_submap),
-                         rel * V3 + intra_m.reshape(-1), SENTINEL_KEY)
-        touched_rel, acc, n_touched = segmented_block_accumulate(
-            keys, wf_raw, wdf_raw, V3, cfg.max_touched_blocks,
+        lane_ok = mask_m & (rel >= 0) & (rel < spec.blocks_per_submap)
+        bkey = jnp.where(lane_ok, rel, SENTINEL_BLOCK)
+        intra_k = jnp.where(lane_ok, intra_m.reshape(-1), 0)
+        vals = (wf_raw, wdf_raw)
+        if cfg.texture_enabled:
+            # color as 3 extra reduction values: per-frame Σw·c, combined
+            # to a weighted mean below. DEVIATION from the reference's
+            # per-lane scatter-set (dense_tsdf.py:268), whose "last writer"
+            # is whichever atomic lands last — nondeterministic; the
+            # weighted mean is deterministic and at least as faithful.
+            vals = vals + tuple(wf_raw * rgb_m[a] for a in range(3))
+        touched_rel, acc, n_touched = segmented_block_reduce(
+            bkey, intra_k, vals, V3, cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"))
         touched_dropped = jnp.maximum(n_touched - cfg.max_touched_blocks, 0)
 
@@ -390,6 +406,18 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
             mode="drop").reshape(ch["TSDF_observed"].shape)
         touched_blocks = jnp.zeros((spec.max_blocks + 1,), bool).at[tgt].max(
             jnp.any(touched_v, axis=1), mode="drop").at[-1].set(False)
+        if cfg.texture_enabled:
+            col2 = ch["color"].reshape(-1, V3)     # rows = slot * 3 + comp
+            w_den = jnp.maximum(w_sum_t, 1e-20)
+            for a in range(3):
+                wc = jnp.where(row_ok[:, None], acc[:, 2 + a, :], 0.0)
+                rows_a = jnp.take(col2, slots * 3 + a,
+                                  axis=0).astype(jnp.float32)
+                new_C = jnp.where(touched_v, wc / w_den, rows_a)
+                tgt_a = jnp.where(row_ok, slots * 3 + a, col2.shape[0])
+                col2 = col2.at[tgt_a].set(new_C.astype(cfg.dtype),
+                                          mode="drop")
+            ch["color"] = col2.reshape(ch["color"].shape)
     else:
         slots_m = lookup_slots(spec, state.table, blin_m.reshape(-1))
         flat_m = flat_voxel_index(spec, slots_m, intra_m.reshape(-1))
@@ -420,6 +448,17 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
         touched_blocks = jnp.any(
             touched.reshape(-1, spec.voxels_per_block),
             axis=1).at[-1].set(False)
+        if cfg.texture_enabled:
+            # per-lane color scatter-set, componentwise (dense_tsdf.py:268;
+            # lane order decides ties like the reference's atomics do)
+            colf = ch["color"].reshape(-1)
+            intra_f = intra_m.reshape(-1)
+            for a in range(3):
+                idx = comp_flat_index(spec, slots_m, intra_f, a)
+                idx = jnp.where(mask_m, idx, colf.shape[0])
+                colf = colf.at[idx].set(
+                    rgb_m[a].astype(cfg.dtype), mode="drop")
+            ch["color"] = colf.reshape(ch["color"].shape)
 
     # endpoint occupancy (dense_tsdf.py:248)
     slots_e = lookup_slots(spec, state.table, blin_e)
@@ -427,17 +466,6 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     flat_e = jnp.where(bins.valid & inb_e, flat_e, garbage)
     ch["occupy"] = scatter_max(ch["occupy"], flat_e,
                                jnp.ones(flat_e.shape, jnp.int8))
-
-    if cfg.texture_enabled:
-        c = jnp.maximum(bins.count, 1.0)
-        bin_rgb = bins.sum_color / c[:, None] / 255.0  # dense_tsdf.py:268-269
-        rgb_m = jnp.broadcast_to(bin_rgb[:, None, :],
-                                 live.shape + (3,)).reshape(-1, 3)
-        # masked lanes already point at the garbage voxel, so a plain
-        # scatter-set is safe (the garbage row is zeroed below)
-        col = ch["color"].reshape(nvox, 3)
-        col = col.at[flat_m].set(rgb_m.astype(col.dtype))
-        ch["color"] = col.reshape(ch["color"].shape)
 
     # keep the garbage row clean so exports/meshing never see absorbed writes
     for k in ch:
@@ -522,8 +550,11 @@ def init_sphere(cfg: TSDFConfig, state: GridState, active_submap=0,
     if cfg.texture_enabled:
         from taichislam_tpu.core.colormap import color_from_colormap
         col = color_from_colormap(p[:, 2], -radius, radius)
-        ch["color"] = ch["color"].reshape(nvox, 3).at[flat].set(
-            col.astype(cfg.dtype), mode="drop").reshape(ch["color"].shape)
+        colf = ch["color"].reshape(-1)
+        for a in range(3):
+            colf = colf.at[comp_flat_index(spec, slots, intra, a)].set(
+                col[:, a].astype(cfg.dtype), mode="drop")
+        ch["color"] = colf.reshape(ch["color"].shape)
     for k in ch:
         ch[k] = ch[k].at[-1].set(jnp.zeros_like(ch[k][-1]))
     return state._replace(channels=ch)

@@ -123,9 +123,10 @@ def test_pallas_gate_rejects_incompatible_grids():
     assert not _use_pallas_accum(cfg)
     cfg = TSDFConfig(num_voxel_per_blk_axis=16, pallas_accum="on")
     assert _use_pallas_accum(cfg)
+    # textured configs run through the kernel too (color as 3 extra values)
     cfg = TSDFConfig(num_voxel_per_blk_axis=16, pallas_accum="on",
                      texture_enabled=True)
-    assert not _use_pallas_accum(cfg)
+    assert _use_pallas_accum(cfg)
 
 
 def test_fuse_submaps_pallas_matches_xla():
@@ -169,3 +170,80 @@ def test_fuse_submaps_pallas_matches_xla():
                                np.asarray(b.channels["W_TSDF"]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(a.channels["occupy"]),
                                   np.asarray(b.channels["occupy"]))
+
+
+def test_textured_integrate_pallas_matches_xla():
+    """Textured integrate: with a CONSTANT texture, the kernel's per-frame
+    weighted-mean color equals the XLA path's last-writer scatter exactly
+    (every contributing lane carries the same color)."""
+    from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.ops import tsdf as tsdf_ops
+
+    K = jnp.asarray([20.0, 0, 16.0, 0, 20.0, 12.0, 0, 0, 1], jnp.float32)
+    rng = np.random.default_rng(5)
+    depth = jnp.asarray(rng.integers(400, 1400, (24, 32)).astype(np.uint16))
+    texture = jnp.full((24, 32, 3), 120, jnp.uint8)
+    outs = {}
+    for mode in ("off", "on"):
+        cfg = TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                         num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                         min_ray_length=0.3, recast_step=2, max_blocks=64,
+                         max_bins=1024, max_submap_num=4, pallas_accum=mode,
+                         texture_enabled=True, max_touched_blocks=64)
+        st = tsdf_ops.make_tsdf_state(cfg)
+        st, _ = tsdf_ops.integrate_depth(
+            cfg, st, depth, texture, jnp.eye(3, dtype=jnp.float32),
+            jnp.zeros(3, jnp.float32), K, K, jnp.int32(0))
+        outs[mode] = st
+    a, b = outs["off"], outs["on"]
+    np.testing.assert_allclose(np.asarray(a.channels["TSDF"]),
+                               np.asarray(b.channels["TSDF"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.channels["color"]),
+                               np.asarray(b.channels["color"]), atol=1e-5)
+    obs = np.asarray(a.channels["TSDF_observed"]) > 0
+    col = np.asarray(a.channels["color"])
+    # every observed voxel carries the constant color 120/255
+    for c in range(3):
+        comp = col[:, c, :][obs]
+        assert np.allclose(comp, 120.0 / 255.0, atol=1e-3), comp
+
+
+def test_textured_fusion_pallas_matches_xla():
+    """Textured submap fusion: both paths use the identical weighted color
+    merge, so results agree to fp tolerance even with varying colors."""
+    from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.ops import tsdf as tsdf_ops, fusion as fusion_ops
+
+    sub_cfg = TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                         num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                         min_ray_length=0.3, recast_step=2, max_blocks=64,
+                         max_bins=1024, max_submap_num=4, pallas_accum="off",
+                         texture_enabled=True)
+    K = jnp.asarray([20.0, 0, 16.0, 0, 20.0, 12.0, 0, 0, 1], jnp.float32)
+    rng = np.random.default_rng(7)
+    depth = jnp.asarray(rng.integers(400, 1400, (24, 32)).astype(np.uint16))
+    texture = jnp.asarray(rng.integers(0, 255, (24, 32, 3)).astype(np.uint8))
+    st = tsdf_ops.make_tsdf_state(sub_cfg)
+    st, _ = tsdf_ops.integrate_depth(
+        sub_cfg, st, depth, texture, jnp.eye(3, dtype=jnp.float32),
+        jnp.zeros(3, jnp.float32), K, K, jnp.int32(0))
+
+    base_R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (4, 3, 3))
+    base_T = jnp.zeros((4, 3), jnp.float32)
+    outs = {}
+    for mode in ("off", "on"):
+        glob_cfg = TSDFConfig(map_scale=(6.4, 6.4), voxel_scale=0.1,
+                              num_voxel_per_blk_axis=8, max_blocks=128,
+                              max_submap_num=1, is_global_map=True,
+                              pallas_accum=mode, max_touched_blocks=128,
+                              texture_enabled=True)
+        g = tsdf_ops.make_tsdf_state(glob_cfg)
+        g, stats = fusion_ops.fuse_submaps(sub_cfg, glob_cfg, 64, g, st,
+                                           base_R, base_T)
+        assert int(stats.get("fuse_tiles_dropped", 0)) == 0
+        outs[mode] = g
+    a, b = outs["off"], outs["on"]
+    np.testing.assert_allclose(np.asarray(a.channels["color"]),
+                               np.asarray(b.channels["color"]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(a.channels["TSDF"]),
+                               np.asarray(b.channels["TSDF"]), atol=1e-5)

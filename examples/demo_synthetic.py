@@ -168,6 +168,9 @@ def main():
         assert n > 0
 
     if args.two_drones:
+        # ship the trailing (still-active) submap so short runs whose only
+        # submap never hit a keyframe boundary still reach drone B
+        sm.flush()
         comm_b.handle()
         print(f"[demo] drone B received "
               f"{sm_b.submap_collection.remote_submap_num} remote submaps, "

@@ -8,6 +8,17 @@ zlib/npy submap + trajectory wire exchange. Differences from the reference:
 - the hard-coded debug auto-save to ``/home/xuhao/output/test_map.npy``
   (submap_mapping.py:144-145) is replaced by an optional ``autosave_path``;
 - default capacities are knobs of the TPU block grid.
+
+SECURITY / trust boundary: the reference wire format is a zlib-compressed
+pickled ``np.save`` blob decoded with ``np.load(allow_pickle=True)``
+(submap_mapping.py:247-259) — deserializing it executes arbitrary code, so
+it must ONLY be used on a trusted network segment (the fleet's own multicast
+group behind its own radio link, the reference's deployment model). This
+class defaults to ``wire_format="npz"`` — plain-array ``np.savez`` decoded
+with ``allow_pickle=False`` (no code execution) — and auto-detects the
+format on receive: pickle-npy inbound frames are accepted only when
+``wire_format="pickle"`` is explicitly selected for interop with reference
+peers; otherwise they are dropped with a warning.
 """
 
 from __future__ import annotations
@@ -21,10 +32,59 @@ import numpy as np
 from taichislam_tpu.models.dense_tsdf import DenseTSDF
 from taichislam_tpu.models.octomap import Octomap
 
+# submap-dict scalar keys restored from 0-d arrays by the safe npz codec
+_WIRE_SCALARS = {"voxel_scale": float, "texture_enabled": bool,
+                 "num_voxel_per_blk_axis": int, "frame_id": int}
+
+
+def _encode_submap_npz(obj) -> bytes:
+    """Safe wire encoding: plain arrays only (np.savez, no pickle)."""
+    flat = {}
+    for k, v in obj.items():
+        if k == "pose":
+            flat["pose_R"] = np.asarray(v[0], np.float64)
+            flat["pose_T"] = np.asarray(v[1], np.float64)
+        else:
+            flat[k] = np.asarray(v)
+    f = io.BytesIO()
+    np.savez(f, **flat)
+    return f.getvalue()
+
+
+def _decode_submap_npz(data: bytes) -> dict:
+    with np.load(io.BytesIO(data), allow_pickle=False) as z:
+        obj = {k: z[k] for k in z.files}
+    if "pose_R" in obj:
+        obj["pose"] = (obj.pop("pose_R"), obj.pop("pose_T"))
+    for k, typ in _WIRE_SCALARS.items():
+        if k in obj and obj[k].ndim == 0:
+            obj[k] = typ(obj[k].item())
+    if "map_scale" in obj:
+        obj["map_scale"] = np.asarray(obj["map_scale"]).tolist()
+    return obj
+
+
+def _encode_traj_npz(traj: dict) -> bytes:
+    ids = np.asarray(sorted(traj), np.int64)
+    Rs = np.stack([np.asarray(traj[i][0], np.float64) for i in ids]) \
+        if len(ids) else np.zeros((0, 3, 3))
+    Ts = np.stack([np.asarray(traj[i][1], np.float64) for i in ids]) \
+        if len(ids) else np.zeros((0, 3))
+    f = io.BytesIO()
+    np.savez(f, ids=ids, Rs=Rs, Ts=Ts)
+    return f.getvalue()
+
+
+def _decode_traj_npz(data: bytes) -> dict:
+    with np.load(io.BytesIO(data), allow_pickle=False) as z:
+        ids, Rs, Ts = z["ids"], z["Rs"], z["Ts"]
+    return {int(i): (R, T) for i, R, T in zip(ids, Rs, Ts)}
+
 
 class SubmapMapping:
     def __init__(self, submap_type=DenseTSDF, keyframe_step=20, sub_opts={},
-                 global_opts={}, autosave_path=None):
+                 global_opts={}, autosave_path=None, wire_format="npz"):
+        assert wire_format in ("npz", "pickle"), wire_format
         if submap_type == DenseTSDF:
             sdf_default_opts = {
                 "map_scale": [10, 10],
@@ -57,6 +117,7 @@ class SubmapMapping:
         self.submap_type = submap_type
         self.exporting_global = False
         self.autosave_path = autosave_path
+        self.wire_format = wire_format
         self.submap_collection = self.submap_type(**self.sub_opts)
         self.global_map = self.create_globalmap(global_opts)
         self.first_init = True
@@ -172,25 +233,29 @@ class SubmapMapping:
             return False
         return self.frame_count % self.keyframe_step == 0
 
+    def _finalize_active_submap(self):
+        """Ship the finished submap to peers, advance the collection to a
+        fresh slot, and refresh the fused global map."""
+        finished = self.submap_collection.export_submap()
+        self.send_submap(finished)
+        self.submap_collection.switch_to_next_submap()
+        self.submap_collection.clear_last_TSDF_exporting = True
+        self.local_to_global()
+
     def create_new_submap(self, frame_id, R, T):
-        print("[SubmapMapping] Create new submap ", frame_id)
-        if self.first_init:
-            self.first_init = False
-        else:
-            submap = self.submap_collection.export_submap()
-            self.send_submap(submap)
-            self.submap_collection.switch_to_next_submap()
-            self.submap_collection.clear_last_TSDF_exporting = True
-            self.local_to_global()
-        submap_id = self.submap_collection.get_active_submap_id()
-        self.global_map.set_base_pose_submap(submap_id, R, T)
-        self.submap_collection.set_base_pose_submap(submap_id, R, T)
-        self.submaps[frame_id] = submap_id
+        if not self.first_init:
+            self._finalize_active_submap()
+        self.first_init = False
+
+        sid = self.submap_collection.get_active_submap_id()
+        for m in (self.global_map, self.submap_collection):
+            m.set_base_pose_submap(sid, R, T)
         self.pgo_poses[frame_id] = (R, T)
+        self.submaps[frame_id] = sid
         self.active_submap_frame_id = frame_id
         print(f"[SubmapMapping] Created new submap on frame {frame_id}, "
-              f"now have {submap_id+1} submaps")
-        if self.autosave_path is not None and submap_id % 2 == 0:
+              f"now have {sid+1} submaps")
+        if self.autosave_path is not None and sid % 2 == 0:
             self.saveMap(self.autosave_path)
         return self.submap_collection
 
@@ -268,26 +333,52 @@ class SubmapMapping:
     def send_submap(self, submap):
         submap["frame_id"] = self.active_submap_frame_id
         submap["pose"] = self.pgo_poses[self.active_submap_frame_id]
-        f = io.BytesIO()
-        np.save(f, submap)
+        if self.wire_format == "pickle":
+            f = io.BytesIO()
+            np.save(f, submap)
+            raw = f.getvalue()
+        else:
+            raw = _encode_submap_npz(submap)
         s = time.time()
-        compressed = zlib.compress(f.getbuffer(), 1)
+        compressed = zlib.compress(raw, 1)
         self.map_send_handle(compressed)
-        print(f"[SubmapMapping] Send submap with {len(f.getbuffer())/1024.0:.1f} kB, "
+        print(f"[SubmapMapping] Send submap with {len(raw)/1024.0:.1f} kB, "
               f"compressed {len(compressed)/1024:.1f}kB compress cost "
               f"{(time.time()-s)*1000:.1f}ms")
 
     def send_traj(self, traj):
-        f = io.BytesIO()
-        np.save(f, traj)
-        compressed = zlib.compress(f.getbuffer(), 1)
+        if self.wire_format == "pickle":
+            f = io.BytesIO()
+            np.save(f, traj)
+            raw = f.getvalue()
+        else:
+            raw = _encode_traj_npz(traj)
+        compressed = zlib.compress(raw, 1)
         self.traj_send_handle(compressed)
+
+    def _decode_wire(self, buf, npz_decoder, what):
+        """Auto-detect the inbound format; pickle-npy is only deserialized
+        when wire_format="pickle" was explicitly chosen (trust boundary —
+        see module docstring)."""
+        raw = zlib.decompress(buf)
+        if raw[:2] == b"PK":                      # npz zip magic: safe path
+            return npz_decoder(raw)
+        if raw[:6] == b"\x93NUMPY":
+            if self.wire_format != "pickle":
+                print(f"[SubmapMapping] DROPPED pickle-npy {what} from the "
+                      "wire: wire_format='npz' refuses pickled payloads "
+                      "(set wire_format='pickle' for reference-peer interop "
+                      "on a trusted network)")
+                return None
+            return np.load(io.BytesIO(raw), allow_pickle=True).item()
+        print(f"[SubmapMapping] DROPPED unrecognized {what} payload")
+        return None
 
     def input_remote_submap(self, buf):
         print(f"[SubmapMapping] Recv submap with {len(buf)/1024:.1f} kB")
-        decompress = zlib.decompress(buf)
-        f = io.BytesIO(decompress)
-        submap = np.load(f, allow_pickle=True).item()
+        submap = self._decode_wire(buf, _decode_submap_npz, "submap")
+        if submap is None:
+            return
         idx = self.submap_collection.input_remote_submap(submap)
         self.global_map.set_base_pose_submap(idx, submap["pose"][0],
                                              submap["pose"][1])
@@ -295,12 +386,24 @@ class SubmapMapping:
         self.submaps[submap["frame_id"]] = idx
 
     def input_remote_traj(self, buf):
-        decompress = zlib.decompress(buf)
-        f = io.BytesIO(decompress)
-        traj = np.load(f, allow_pickle=True).item()
+        traj = self._decode_wire(buf, _decode_traj_npz, "traj")
+        if traj is None:
+            return
         self.set_frame_poses(traj, True)
         print(f"[SubmapMapping] Recv traj with {len(traj)} poses "
               f"{len(buf)/1024.0:.1f} kB")
+
+    def flush(self):
+        """Export + broadcast the still-active submap (shutdown flush).
+
+        The reference leaks the trailing submap when the node ends: a submap
+        is only sent when the NEXT one is created (create_new_submap), so
+        work since the last keyframe boundary never reaches peers. Call this
+        when ingestion ends.
+        """
+        if self.frame_count == 0 or self.first_init:
+            return
+        self.send_submap(self.submap_collection.export_submap())
 
     def saveMap(self, filename):
         self.global_map.saveMap(filename)

@@ -25,14 +25,21 @@ TPU-native formulation (all static shapes, no queues, no atomics):
   decomposes by distance class — faces (1·v), edges (√2·v), corners (√3·v) —
   each class computable by composing 2-shift axis minima, so a sweep is a
   handful of fused elementwise passes instead of 26 materialized windows.
-- warm starts: previous ESDF values are kept where still valid, so per-frame
-  incremental updates converge in a few sweeps inside the ``lax.while_loop``.
-  Known approximation: a warm value is only reset when its own seed changes
-  (sign flip or fixed-band exit), so when a surface moves *away*, downstream
-  voxels whose distance should *rise* keep their stale-low value until their
-  own block is re-observed (the role of voxblox's raise queue). Measured on
-  a moving-surface scene: <0.3% of voxels, bounded by the local surface
-  displacement; a from-scratch ``esdf_update(prev=zeros)`` clears it.
+- **pure min-plus Jacobi update = built-in raise semantics**: each sweep
+  recomputes ``new[v] = min(max_ray, min over source neighbors (esdf[n] +
+  dist))`` — the voxel's own previous value does NOT appear in the min, so
+  the iteration converges to the unique distance fixed point from *any*
+  initialization. Stale-LOW values (a surface receded or was erased) rise by
+  at least one voxel_scale per sweep until they regain real support; values
+  above the fixed point fall one voxel per sweep as usual. This subsumes
+  voxblox's raise queue (dense_esdf.py:261-273 resets children of raised
+  voxels via parent_dir back-pointers) without parent state, queues, or
+  atomics — property-tested on wall-deleted / wall-receded scenes against
+  brute-force distance.
+- warm starts: previous ESDF values initialize the iteration (kept where the
+  TSDF sign is unchanged), so per-frame incremental updates converge in a
+  few sweeps inside the ``lax.while_loop``; staleness of any kind is
+  self-correcting per the Jacobi property above.
 - dirty-block working sets (``dirty_blocks`` arg): per-frame updates sweep
   only the 26-dilation of frame-touched blocks; wavefronts that reach the
   working-set edge re-queue via the returned ``changed_blocks`` bitmap and
@@ -275,13 +282,15 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
 
     With ``dirty_blocks`` (a (max_blocks+1,) per-slot bool bitmap, e.g.
     integrate's ``touched_blocks`` stat), the working set shrinks to the
-    26-dilation of the dirty blocks — the per-frame incremental mode. Warm
-    values elsewhere are carried through unchanged. Wavefronts that reach
-    the working-set edge are reported in the returned ``changed_blocks``
-    bitmap; feeding it into the next call's ``dirty_blocks`` continues the
-    propagation, amortizing long-range updates across frames (the role of
-    voxblox's raise/lower queues, dense_esdf.py:228-333, with static
-    shapes and no atomics).
+    26-dilation of the dirty blocks — the per-frame incremental mode — plus
+    a second-dilation frozen rim serving as the Dirichlet boundary. Warm
+    values elsewhere are carried through unchanged. Wavefronts (lower OR
+    raise — the pure-Jacobi sweep handles receding surfaces, see module
+    docstring) that reach the working-set edge are reported in the returned
+    ``changed_blocks`` bitmap; feeding it into the next call's
+    ``dirty_blocks`` continues the propagation, amortizing long-range
+    updates across frames (the role of voxblox's raise/lower queues,
+    dense_esdf.py:228-333, with static shapes and no atomics).
 
     Args:
         prev_esdf: (max_blocks+1, V^3) previous ESDF (zeros on first call)
@@ -312,18 +321,26 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
 
     if dirty_blocks is None:
         work_blk = blk
+        src_blk = blk
     else:
         # 26-dilation: a block is in the working set if any of its 27
         # neighborhood slots is dirty (changes propagate 1 voxel/sweep, so
         # with sweeps <= V they stay inside the dilation; anything that
-        # reaches the edge is re-queued via changed_blocks)
+        # reaches the edge is re-queued via changed_blocks). A second
+        # dilation ring is gathered as a FROZEN rim: the pure-Jacobi sweep
+        # recomputes every voxel from its neighbors, so edge voxels must see
+        # their out-of-set support as Dirichlet boundary values or they
+        # would spuriously raise.
         dirty = dirty_blocks.at[-1].set(False)
         dil = jnp.any(jnp.take(dirty, nslots_full.reshape(nb, 27), axis=0),
                       axis=1) | dirty
         work_blk = blk & dil
+        rim = jnp.any(jnp.take(work_blk, nslots_full.reshape(nb, 27),
+                               axis=0), axis=1) | work_blk
+        src_blk = blk & rim
 
-    # ---- compact the working-set blocks -----------------------------------
-    bpos, bkept, btotal = compact_mask(work_blk, block_cap)
+    # ---- compact the working-set blocks (+ frozen rim) ---------------------
+    bpos, bkept, btotal = compact_mask(src_blk, block_cap)
     slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
         jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
     bvalid = jnp.arange(block_cap) < bkept
@@ -346,14 +363,16 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     fixed = participate & (jnp.abs(tsdf) < gamma)
     seed = jnp.where(fixed, tsdf, sign(tsdf) * max_ray)
 
-    # warm start: previous values stay unless their support may have changed
+    # warm start: previous values initialize the Jacobi iteration where the
+    # TSDF sign is unchanged (a formerly-fixed voxel resets to its seed —
+    # its near-zero warm value would just rise slowly otherwise). Any
+    # remaining staleness, high OR low, is corrected by the pure-Jacobi
+    # sweep below, which does not keep the voxel's own old value.
     prev_ok = (jnp.sign(prev_e) == jnp.sign(seed)) & participate & \
-        ~((prev_f > 0) & ~fixed)
+        (prev_e != 0) & ~((prev_f > 0) & ~fixed)
     esdf0 = jnp.where(fixed, seed,
                       jnp.where(prev_ok,
-                                jnp.where(seed >= 0,
-                                          jnp.minimum(prev_e, seed),
-                                          jnp.maximum(prev_e, seed)),
+                                jnp.clip(prev_e, -max_ray, max_ray),
                                 seed))
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
@@ -364,8 +383,13 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     nslots = jnp.concatenate(
         [nslots, jnp.full((1, 3, 3, 3), block_cap, jnp.int32)], axis=0)
 
-    pos_side = participate & ~fixed & (tsdf >= 0)
-    neg_side = participate & ~fixed & (tsdf < 0)
+    # rows holding frozen-rim blocks participate as sources but are never
+    # updated (Dirichlet boundary of the working set)
+    updatable = jnp.take(work_blk, slot_of, axis=0) & bvalid
+    updatable = jnp.concatenate([updatable, jnp.zeros((1,), bool)])
+
+    pos_side = participate & ~fixed & (tsdf >= 0) & updatable[:, None]
+    neg_side = participate & ~fixed & (tsdf < 0) & updatable[:, None]
     pos_src = (participate & (fixed | (tsdf >= gamma))).at[-1].set(False)
     neg_src = (participate & (fixed | (tsdf <= -gamma))).at[-1].set(False)
 
@@ -378,6 +402,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     neg_src_h = _to_sweep_layout(neg_src, V, False)
     esdf0_h = _to_sweep_layout(esdf0, V, 0.0)
 
+    max_ray_f = jnp.float32(max_ray)
+
     def body(carry):
         esdf, _, it = carry
         lo = _assemble_sweep(jnp.where(pos_src_h, esdf, BIG), nslots, V, BIG)
@@ -387,8 +413,11 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         fh, eh, chs = _extrema_sweep(hi, jnp.maximum, -BIG, W)
         cand_lo = jnp.minimum(jnp.minimum(fl + v1, el + v2), cl + v3)
         cand_hi = jnp.maximum(jnp.maximum(fh - v1, eh - v2), chs - v3)
-        new = jnp.where(pos_side_h, jnp.minimum(esdf, cand_lo), esdf)
-        new = jnp.where(neg_side_h, jnp.maximum(esdf, cand_hi), new)
+        # pure Jacobi: the voxel's own previous value is NOT in the min —
+        # this is what makes raise (stale-low) states self-correcting; the
+        # seed (+-max_ray) bounds voxels with no supported neighbor yet
+        new = jnp.where(pos_side_h, jnp.minimum(max_ray_f, cand_lo), esdf)
+        new = jnp.where(neg_side_h, jnp.maximum(-max_ray_f, cand_hi), new)
         changed = jnp.any(jnp.abs(new - esdf) > 1e-6)
         return new, changed, it + 1
 
@@ -401,8 +430,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     esdf_c = _from_sweep_layout(esdf_h, V)
 
     # scatter results back to full-size arrays; blocks outside the working
-    # set carry their previous values through (they were not recomputed)
-    tgt = jnp.where(bvalid, slot_of, nb)
+    # set (and the frozen rim) carry their previous values through
+    tgt = jnp.where(updatable[:block_cap], slot_of, nb)
     esdf = jnp.where(participate_full, prev_esdf, 0.0).at[tgt].set(
         esdf_c[:block_cap], mode="drop")
     fixed_full = jnp.where(participate_full, prev_fixed,

@@ -23,7 +23,20 @@ def _load():
     if _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "libtslam_transport.so")
+    here = os.path.dirname(__file__)
+    path = os.path.join(here, "libtslam_transport.so")
+    src = os.path.join(here, "transport.cpp")
+    # the .so is not tracked in git (unauditable binary); build on first use
+    # when stale or missing, falling back to pure Python on any failure
+    if os.path.exists(src) and (
+            not os.path.exists(path)
+            or os.path.getmtime(path) < os.path.getmtime(src)):
+        import subprocess
+        try:
+            subprocess.run(["sh", os.path.join(here, "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            pass
     if not os.path.exists(path):
         return None
     try:

@@ -69,7 +69,14 @@ struct FragState {
   uint32_t total = 0;
   uint16_t nfrag = 0;
   std::map<uint32_t, std::vector<uint8_t>> parts;
+  std::chrono::steady_clock::time_point t0;
 };
+
+// partial-reassembly bounds: lost fragments (or non-first fragments whose
+// header packet never arrived) must not grow frags_ forever on a lossy
+// network — real LCM caps its fragment buffers the same way
+constexpr auto kFragTtl = std::chrono::seconds(5);
+constexpr size_t kFragMaxEntries = 64;
 
 class Transport {
  public:
@@ -203,6 +210,7 @@ class Transport {
       size_t blen = n - 20;
       FragKey key{src.sin_addr.s_addr, src.sin_port, seq};
       std::lock_guard<std::mutex> lk(frag_mu_);
+      ExpireFragsLocked();
       if (fno == 0) {
         const uint8_t* z = (const uint8_t*)memchr(body, 0, blen);
         if (!z) return;
@@ -210,6 +218,7 @@ class Transport {
         st.channel.assign((const char*)body, z - body);
         st.total = total;
         st.nfrag = nfrag;
+        st.t0 = std::chrono::steady_clock::now();
         frags_[key] = std::move(st);
         body = z + 1;
         blen = n - 20 - (body - (p + 20));
@@ -228,6 +237,23 @@ class Transport {
         if (data.size() == total_expected)
           Deliver({std::move(chan), std::move(data)});
       }
+    }
+  }
+
+  // caller holds frag_mu_
+  void ExpireFragsLocked() {
+    auto now = std::chrono::steady_clock::now();
+    for (auto it = frags_.begin(); it != frags_.end();) {
+      if (now - it->second.t0 > kFragTtl)
+        it = frags_.erase(it);
+      else
+        ++it;
+    }
+    while (frags_.size() > kFragMaxEntries) {
+      auto oldest = frags_.begin();
+      for (auto it = frags_.begin(); it != frags_.end(); ++it)
+        if (it->second.t0 < oldest->second.t0) oldest = it;
+      frags_.erase(oldest);
     }
   }
 

@@ -77,7 +77,7 @@ class UDPMulticastTransport:
         self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_TTL, ttl)
         self.sock.setsockopt(socket.IPPROTO_IP, socket.IP_MULTICAST_LOOP, 1)
         self.sock.setblocking(False)
-        # (sender, seq) -> [channel, total, got_bytes, dict(offset->bytes)]
+        # (sender, seq) -> [channel, total, nfrag, dict(offset->bytes), t0]
         self._frags: Dict[Tuple, List] = {}
 
     def publish(self, channel: str, data: bytes):
@@ -115,23 +115,57 @@ class UDPMulticastTransport:
             self.sock.settimeout(max(deadline - time.time(), 1e-4))
         return out
 
+    # partial reassembly state is bounded: entries older than this (lost
+    # fragments, or non-first fragments whose header never arrived) are
+    # evicted, and the map is capped — real LCM caps its frag buffers too
+    _FRAG_TTL_S = 5.0
+    _FRAG_MAX_ENTRIES = 64
+
+    def _expire_frags(self, now: float):
+        if len(self._frags) > self._FRAG_MAX_ENTRIES:
+            for key, _ in sorted(self._frags.items(),
+                                 key=lambda kv: kv[1][4])[
+                    :len(self._frags) - self._FRAG_MAX_ENTRIES]:
+                del self._frags[key]
+        dead = [k for k, e in self._frags.items()
+                if now - e[4] > self._FRAG_TTL_S]
+        for k in dead:
+            del self._frags[k]
+
     def _handle_packet(self, pkt: bytes, sender):
+        """Decode one datagram; malformed or hostile packets are dropped
+        (the C++ transport does the same) — a bad packet on the open
+        multicast group must never crash poll()."""
         if len(pkt) < 8:
             return None
         magic, seq = struct.unpack_from(">II", pkt, 0)
         if magic == _MAGIC_SHORT:
-            end = pkt.index(b"\x00", 8)
-            return pkt[8:end].decode(), pkt[end + 1:]
+            end = pkt.find(b"\x00", 8)
+            if end < 0:
+                return None
+            try:
+                return pkt[8:end].decode(), pkt[end + 1:]
+            except UnicodeDecodeError:
+                return None
         if magic == _MAGIC_FRAG:
+            if len(pkt) < 20:
+                return None
             _, seq, total, off, fno, nfrag = struct.unpack_from(">IIIIHH",
                                                                 pkt, 0)
             body = pkt[20:]
+            now = time.time()
+            self._expire_frags(now)
             key = (sender, seq)
             if fno == 0:
-                end = body.index(b"\x00")
-                chan = body[:end].decode()
+                end = body.find(b"\x00")
+                if end < 0:
+                    return None
+                try:
+                    chan = body[:end].decode()
+                except UnicodeDecodeError:
+                    return None
                 body = body[end + 1:]
-                self._frags[key] = [chan, total, nfrag, {}]
+                self._frags[key] = [chan, total, nfrag, {}, now]
             ent = self._frags.get(key)
             if ent is None:
                 return None
@@ -230,10 +264,15 @@ class SLAMComm:
 
     def handle(self):
         for channel, data in self.transport.poll(TIMEOUT_MS):
-            if channel == CHANNEL_SUBMAP:
-                self.handle_submap(channel, data)
-            elif channel == CHANNEL_TRAJ:
-                self.handle_traj(channel, data)
+            try:
+                if channel == CHANNEL_SUBMAP:
+                    self.handle_submap(channel, data)
+                elif channel == CHANNEL_TRAJ:
+                    self.handle_traj(channel, data)
+            except (ValueError, struct.error) as e:
+                # hostile/corrupt Buffer payloads on the open multicast
+                # group are dropped, never crash the node main loop
+                print(f"[SLAMComm] dropped malformed msg on {channel}: {e}")
 
     def close(self):
         self.transport.close()

@@ -163,14 +163,103 @@ def test_esdf_dirty_block_propagation():
     err = np.max(np.abs(np.where(obs, got - np.asarray(warm), 0.0)))
     assert err < 1e-5, f"incremental vs full-warm max err {err}"
 
-    # vs a from-scratch recompute: warm starts keep stale-low values where
-    # a moved surface would require raising (the reference's raise queue;
-    # see ops/esdf.py docstring) — bounded to a small fraction of voxels
+    # vs a from-scratch recompute: the pure-Jacobi sweep raises stale-low
+    # values (voxblox's raise queue, dense_esdf.py:261-273), so the drained
+    # incremental result must match a cold full update EXACTLY
     shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
     full, _, _, _, _, ov = esdf_ops.esdf_update(
         m.cfg, 256, min(512, m.cfg.max_blocks), m.state,
         jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.int8),
         jnp.int32(m.active_submap_id))
     assert int(ov) == 0
-    stale = np.abs(np.where(obs, got - np.asarray(full), 0.0)) > 1e-3
-    assert np.mean(stale) < 0.01, f"stale fraction {np.mean(stale)}"
+    err = np.max(np.abs(np.where(obs, got - np.asarray(full), 0.0)))
+    assert err < 1e-5, f"incremental vs cold-full max err {err}"
+
+
+def _drain_esdf(m, max_rounds=40):
+    """Keep running incremental updates with an empty touched set until the
+    changed-block wavefront queue is empty (the voxblox queue-drain)."""
+    import jax.numpy as jnp
+    m.last_stats = dict(m.last_stats)
+    m.last_stats["touched_blocks"] = jnp.zeros((m.cfg.max_blocks + 1,), bool)
+    for _ in range(max_rounds):
+        if not bool(np.any(np.asarray(m._esdf_pending))):
+            return
+        m.update_esdf()
+    raise AssertionError("esdf wavefront queue never drained")
+
+
+def _brute_force_check(m, tol=1e-3):
+    idx, tsdf, w, occ, col = m.to_numpy()
+    tsdf_dict = {tuple(i): float(t) for i, t in zip(idx, tsdf)}
+    want = bellman_esdf(tsdf_dict, m.cfg.voxel_scale, m.cfg.max_ray_length,
+                        m.cfg.voxel_scale)
+    got = m.get_esdf_dict()
+    err = max(abs(got[k] - want[k]) for k in want)
+    assert err < tol, f"max ESDF err vs brute force {err}"
+
+
+def _make_wall_map():
+    m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_ray_length=2.0,
+                  min_ray_length=0.3, max_blocks=512, max_bins=8192,
+                  max_submap_num=8, max_esdf_sweeps=128)
+    m.set_dep_camera_intrinsic(
+        np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
+    depth = np.full((48, 64), 1000, np.uint16)   # flat wall at 1.0 m
+    m.recast_depth_to_map(np.eye(3, dtype=np.float32),
+                          np.zeros(3, np.float32), depth, None)
+    _drain_esdf(m)
+    return m
+
+
+def test_esdf_raise_wall_deleted():
+    """Adversarial raise scene: a wall is erased entirely (its TSDF flips to
+    far-positive). Every downstream distance must RISE to the new fixed
+    point — the reference's raise-queue semantics (dense_esdf.py:261-273).
+    The stale pre-deletion values are strictly too low, so a lower-only
+    (monotone) sweep would keep them forever."""
+    import jax.numpy as jnp
+
+    m = _make_wall_map()
+    # erase the wall in-place: every negative/near-zero voxel becomes
+    # observed free space at +max_ray; mark those blocks as touched
+    tsdf = np.asarray(m.state.channels["TSDF"], np.float32)
+    wall = np.asarray(m.state.channels["TSDF_observed"] > 0) & (tsdf < 0.15)
+    new_tsdf = np.where(wall, 2.0, tsdf)
+    m.state = m.state._replace(channels={
+        **m.state.channels,
+        "TSDF": jnp.asarray(new_tsdf.astype(
+            np.asarray(m.state.channels["TSDF"]).dtype))})
+    stale_before = m.get_esdf_dict()
+    m.last_stats = dict(m.last_stats)
+    m.last_stats["touched_blocks"] = jnp.asarray(np.any(wall, axis=1))
+    m.update_esdf()
+    _drain_esdf(m)
+
+    _brute_force_check(m)
+    # and the raise actually happened (values rose, not just matched)
+    got = m.get_esdf_dict()
+    rose = sum(1 for k in got
+               if k in stale_before and got[k] > stale_before[k] + 0.2)
+    assert rose > 50, f"only {rose} voxels raised"
+
+
+def test_esdf_raise_wall_moved_away():
+    """Adversarial raise scene: the wall recedes 0.5 m (re-integrated until
+    the weighted TSDF flips sign in the vacated band). Distances in front of
+    the old wall must rise by ~the displacement."""
+    m = _make_wall_map()
+    near = m.get_esdf_dict()
+
+    depth = np.full((48, 64), 1500, np.uint16)   # wall now at 1.5 m
+    R = np.eye(3, dtype=np.float32)
+    T = np.zeros(3, np.float32)
+    for _ in range(25):  # outweigh the old observation (W ~ 1/z^2 each)
+        m.recast_depth_to_map(R, T, depth, None)
+    _drain_esdf(m)
+
+    _brute_force_check(m)
+    got = m.get_esdf_dict()
+    rose = sum(1 for k in got if k in near and got[k] > near[k] + 0.3)
+    assert rose > 50, f"only {rose} voxels rose after the wall receded"

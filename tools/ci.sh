@@ -11,8 +11,8 @@ python -m pytest tests/ -x -q
 echo "== multi-chip dryrun (8 virtual devices) =="
 python __graft_entry__.py
 
-echo "== end-to-end demo =="
-python examples/demo_synthetic.py --frames 4 --topo --cpu
+echo "== end-to-end demo (incl. two-drone wire exchange) =="
+python examples/demo_synthetic.py --frames 4 --topo --two-drones --cpu
 
 echo "== SDF fidelity vs reference math =="
 python tools/compare_vs_reference.py --cpu

@@ -149,7 +149,7 @@ def main():
                   min_ray_length=0.3, max_blocks=256, max_bins=cfg.max_bins,
                   max_submap_num=64, max_esdf_sweeps=64)
     m.set_dep_camera_intrinsic(np.asarray(K).reshape(3, 3).flatten())
-    m.recast_depth_to_map(np.eye(3, np.float32), np.zeros(3, np.float32),
+    m.recast_depth_to_map(np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
                           depth_np, None)
     touched = m.last_stats["touched_blocks"]
     print(f"map blocks: {int(m.state.num_blocks)}, esdf cap bucket "

@@ -29,6 +29,10 @@ def main():
     ap.add_argument("--blk", type=int, default=16,
                     help="num voxels per block per axis")
     ap.add_argument("--texture-enabled", action="store_true")
+    ap.add_argument("--viewer", action="store_true",
+                    help="serve the interactive three.js viewer "
+                         "(orbit/pan/zoom + options panel) on --viewer-port")
+    ap.add_argument("--viewer-port", type=int, default=8765)
     ap.add_argument("--record", action="store_true",
                     help="save rendered frames as PNGs to ./frames/")
     ap.add_argument("--cpu", action="store_true")
@@ -65,7 +69,11 @@ def main():
         import os
         os.makedirs("frames", exist_ok=True)
         save_path = "frames"
-    render = TaichiSLAMRender(1280, 720, save_path=save_path)
+    if args.viewer:
+        from taichislam_tpu.utils.viewer_server import InteractiveRender
+        render = InteractiveRender(port=args.viewer_port)
+    else:
+        render = TaichiSLAMRender(1280, 720, save_path=save_path)
 
     if args.bag:
         def cb(pose_msg, cloud_msg):

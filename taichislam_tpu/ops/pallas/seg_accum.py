@@ -124,7 +124,7 @@ def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
 
 
 def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
-                           rows: int = 8, interpret: bool = False):
+                           rows: int = 16, interpret: bool = False):
     """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:

@@ -184,12 +184,15 @@ def bin_points_c(cfg: TSDFConfig, px, py, pz, z, color, valid) -> Bins:
 
     # segmented sums WITHOUT scatters (segment_sum lowers to a ~10 ns/lane
     # scatter on TPU): prefix-sum each value, then difference the cumsum at
-    # per-bin segment boundaries found by binary search over the (monotone)
-    # rank array — O(B log N) gathers instead of O(N) scatter lanes.
+    # per-bin segment boundaries. Boundaries come from ONE searchsorted —
+    # segments are contiguous so starts[b] == ends[b-1] — with
+    # method="sort" (one merge-sort pass; the default binary search costs
+    # ~log N rounds of B-sized gathers, ~1 ms at these shapes).
     rank_mono = jnp.where(ok, rank, B + total_bins + 1)
     bins_iota = jnp.arange(B, dtype=jnp.int32)
-    starts = jnp.searchsorted(rank_mono, bins_iota)
-    ends = jnp.searchsorted(rank_mono, bins_iota + 1)  # exclusive
+    ends = jnp.searchsorted(rank_mono, bins_iota + 1,
+                            method="sort")  # exclusive
+    starts = jnp.concatenate([jnp.zeros((1,), ends.dtype), ends[:-1]])
 
     def seg_sum(vals):
         cs = jnp.cumsum(vals * ones)

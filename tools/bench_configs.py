@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Run ALL five BASELINE.json benchmark configs and print a table.
+
+The five configs (BASELINE.json "configs", referencing the stripped
+data/ri_tsdf.npy + D435 bag — regenerated equivalents come from
+tools/gen_fixtures.py):
+
+  1. marching-cubes mesh extraction from the saved map
+  2. octomap-style occupancy fusion on the recorded depth sequence
+  3. voxblox-style TSDF fusion + per-frame incremental ESDF on the sequence
+  4. voxgraph-style submap mapping (allocation, fusion, per-submap meshing)
+  5. topology skeleton graph generation from the TSDF
+
+Usage: python tools/bench_configs.py [--frames 40] [--cpu] [--quick]
+(--quick shrinks the sequence/resolution for CI smoke; timing still prints)
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+ROWS = []
+
+
+def row(config, metric, value, detail=""):
+    ROWS.append((config, metric, value, detail))
+    print(f"  -> {config}: {metric} = {value} {detail}", flush=True)
+
+
+def wall(fn, *a, reps=3, **kw):
+    fn(*a, **kw)  # warm/compile
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="small shapes for CI smoke")
+    args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if args.quick:
+        args.frames = min(args.frames, 6)
+
+    from tools.gen_fixtures import ensure_map, ensure_sequence
+    from taichislam_tpu.models.dense_tsdf import DenseTSDF
+    from taichislam_tpu.models.dense_esdf import DenseESDF
+    from taichislam_tpu.models.octomap import Octomap
+    from taichislam_tpu.models.mesher import MarchingCubeMesher
+    from taichislam_tpu.models.submap_mapping import SubmapMapping
+    from taichislam_tpu.models.topo_graph import TopoGraphGen
+
+    seq = ensure_sequence(args.frames)
+    with np.load(seq) as z:
+        depth, Rs, Ts, K = z["depth"], z["Rs"], z["Ts"], z["K"]
+    if args.quick:
+        depth = depth[:, ::4, ::4]
+        K = K / 4.0
+        K[8] = 1.0
+    n = len(depth)
+    base_opts = dict(map_scale=[10.0, 10.0], voxel_scale=0.05,
+                     max_ray_length=5.1, min_ray_length=0.3,
+                     max_blocks=4096)
+    opts = dict(base_opts, num_voxel_per_blk_axis=16, max_bins=32768)
+
+    # ---- config 1: marching cubes from the saved map ------------------------
+    m = DenseTSDF.loadMap(ensure_map(args.frames))
+    mesher = MarchingCubeMesher(m, max_triangles=1 << 19)
+    t, _ = wall(mesher.generate_mesh, 1)
+    row("1 marching-cubes (saved map)", "ms/extraction",
+        round(t * 1000, 2), f"({mesher.num_facelets} triangles, "
+        f"{m.count_active()} voxels)")
+
+    # ---- config 2: octomap occupancy fusion ---------------------------------
+    octo = Octomap(K=2, min_occupy_thres=2, **base_opts)
+    octo.set_dep_camera_intrinsic(K)
+
+    def run_octo():
+        for i in range(n):
+            octo.recast_depth_to_map(Rs[i], Ts[i], depth[i], None)
+    t, _ = wall(run_octo, reps=1)
+    row("2 octomap fusion (D435-like seq)", "fps", round(n / t, 1),
+        f"({n} frames 640x480)" if not args.quick else f"({n} frames)")
+
+    # ---- config 3: TSDF + per-frame incremental ESDF ------------------------
+    esdf = DenseESDF(max_submap_num=8, **opts)
+    esdf.set_dep_camera_intrinsic(K)
+
+    def run_esdf():
+        for i in range(n):
+            esdf.recast_depth_to_map(Rs[i], Ts[i], depth[i], None)
+    t, _ = wall(run_esdf, reps=1)
+    row("3 TSDF + incremental ESDF", "fps", round(n / t, 1),
+        f"(per-frame ESDF, last {esdf.last_esdf_sweeps} sweeps)")
+
+    # ---- config 4: voxgraph-style submap mapping -----------------------------
+    sm = SubmapMapping(DenseTSDF, keyframe_step=max(2, n // 4),
+                       sub_opts=dict(opts, max_submap_num=64,
+                                     max_disp_particles=1 << 18),
+                       global_opts=dict(opts, max_blocks=8192,
+                                        max_disp_particles=1 << 18))
+    sm.set_dep_camera_intrinsic(K)
+    eye = np.eye(3, dtype=np.float32)
+    t0 = time.perf_counter()
+    for i in range(n):
+        sm.recast_depth_to_map_by_frame(
+            i, True, (eye, Ts[i]), (Rs[i], np.zeros(3, np.float32)),
+            depth[i], None)
+    t_ingest = time.perf_counter() - t0
+    t_fuse, _ = wall(sm.local_to_global)
+    gmesher = MarchingCubeMesher(sm.global_map, max_triangles=1 << 19)
+    t_mesh, _ = wall(gmesher.generate_mesh, 1)
+    row("4 voxgraph submap mapping", "fps ingest", round(n / t_ingest, 1),
+        f"(submaps={len(sm.submaps)}, fuse {t_fuse*1000:.1f} ms, "
+        f"global mesh {t_mesh*1000:.1f} ms / {gmesher.num_facelets} tris)")
+
+    # ---- config 5: topology skeleton graph ----------------------------------
+    topo_map = esdf
+    topo = TopoGraphGen(topo_map, coll_det_num=64, max_raycast_dist=2.5)
+    xyz, e = topo_map.get_voxels_ESDF_slice(0.0)
+    k = topo_map.num_export_ESDF_particles
+    seed = xyz[:k][np.argmax(e[:k])]
+
+    def run_topo():
+        topo.reset()
+        return topo.generate_topo_graph(seed, max_nodes=16)
+    t, nodes = wall(run_topo, reps=1)
+    row("5 topo skeleton graph", "ms", round(t * 1000, 1),
+        f"({nodes} nodes, {topo.num_facelets} facelets, "
+        f"{len(topo.edges)} edges)")
+
+    print("\n== BASELINE.json configs ==")
+    wid = max(len(r[0]) for r in ROWS)
+    for c, metric, v, d in ROWS:
+        print(f"{c:<{wid}}  {metric:>12} {v:>10}  {d}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,24 +1,45 @@
 #!/usr/bin/env python
-"""Benchmark: depth-frame TSDF fusion throughput on one chip.
+"""Benchmark: the BASELINE.json north-star metric on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Primary metric (the printed JSON line): 640x480 depth frames fused into a
+0.05 m TSDF **with per-frame incremental ESDF** — the full metric named by
+BASELINE.json ("depth frames/sec fused @640x480 (0.05m TSDF)" with
+"per-frame incremental ESDF" from the north-star text). vs_baseline is
+measured fps / 200.
 
-The north-star target (BASELINE.json) is >= 200 fps fusing 640x480 depth
-frames into a 0.05 m TSDF on a single TPU chip; ``vs_baseline`` is measured
-fps / 200. The reference publishes no numbers (BASELINE.md), so the target
-is the baseline.
+Secondary fields (same JSON object): fusion-only fps, marching-cubes full-map
+ms (the metric string's second half), and fusion fps on a production-shaped
+8192-block map (the headline must not depend on scene-sized capacity).
+
+Honesty guards: the bin bucket is sized to the WORST frame and the run
+asserts zero capacity-dropped rays / ESDF working-set overflows across all
+timed frames (an under-sized capacity cannot silently cheat).
 
 Measurement notes: on the axon relay, ``block_until_ready`` does not
 actually wait for device completion, so all N frames are chained through one
 ``lax.scan`` inside a single jit and the timing is closed by a scalar
 readback; the tiny-readback RPC latency is measured separately and
-subtracted.
+subtracted. The scan state-carry itself measures 0.01 ms/frame
+(tools/exp_carry.py) — chaining adds nothing.
 """
 
+import dataclasses
 import json
 import time
 
 import numpy as np
+
+
+def make_inputs(n_frames=50):
+    """D435-like sequence: a STATIC world (room + furniture boxes) observed
+    by an orbiting camera with +-3 mm sensor noise — the reference's actual
+    use case (a static scene mapped from a moving robot; the D435 bag). A
+    round-1 bench scene instead wobbled the entire world coherently by up
+    to 40 mm per frame, which forces a global ESDF field update every
+    frame — physically a moving world, not SLAM."""
+    from taichislam_tpu.utils.synthetic_scene import orbit_sequence
+    depth, Rs, Ts, K = orbit_sequence(n_frames=n_frames, noise_mm=3.0)
+    return depth, Rs, Ts
 
 
 def main():
@@ -26,94 +47,27 @@ def main():
     import jax.numpy as jnp
 
     from taichislam_tpu.core.config import TSDFConfig
+    from taichislam_tpu.models.dense_tsdf import bin_bucket_for
+    from taichislam_tpu.ops import esdf as esdf_ops
     from taichislam_tpu.ops import tsdf as tsdf_ops
 
-    import dataclasses
-
-    # max_blocks sized ~2x the scene's 130 allocated blocks (the zero-drop
-    # guard below counts alloc_overflow, so an under-sized capacity cannot
-    # silently cheat): the scan carry copies the whole state each frame on
-    # this relay, so capacity = cost
-    cfg = TSDFConfig(
-        map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
-        max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
-        max_blocks=256, max_bins=32768, max_submap_num=64)
-    state = tsdf_ops.make_tsdf_state(cfg)
-
-    h, w = 480, 640
-    K = jnp.asarray([384.0, 0, 320.0, 0, 384.0, 240.0, 0, 0, 1], jnp.float32)
-
-    rng = np.random.default_rng(0)
-    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
     n_frames = 50
-    frames = np.empty((n_frames, h, w), np.uint16)
-    Rs = np.empty((n_frames, 3, 3), np.float32)
-    Ts = np.empty((n_frames, 3), np.float32)
-    for t in range(n_frames):
-        base = 1500 + 40.0 * np.sin(0.3 * t)
-        depth = base + 0.6 * ii + 0.3 * jj + rng.normal(0, 5, (h, w))
-        frames[t] = np.clip(depth, 400, 2900).astype(np.uint16)
-        th = 0.02 * t
-        Rs[t] = np.array([[np.cos(th), 0, np.sin(th)], [0, 1, 0],
-                          [-np.sin(th), 0, np.cos(th)]], np.float32)
-        Ts[t] = [0.05 * t, 0.0, 0.0]
+    frames, Rs, Ts = make_inputs(n_frames)
     frames_j = jnp.asarray(frames)
     Rs_j, Ts_j = jnp.asarray(Rs), jnp.asarray(Ts)
     texture = jnp.zeros((1, 1, 3), jnp.uint8)
+    from taichislam_tpu.utils.synthetic_scene import D435_K
+    K = jnp.asarray(D435_K)
 
-    # probe the real bin count once, then specialize the executable to a
-    # right-sized bin bucket (the scatter lattice scales with it)
-    _, probe_stats = tsdf_ops.integrate_depth(
-        cfg, state, frames_j[0], texture, Rs_j[0], Ts_j[0], K, K,
-        jnp.int32(0))
-    from taichislam_tpu.models.dense_tsdf import bin_bucket_for
-    n_bins = int(probe_stats["num_bins"])
-    cfg = dataclasses.replace(
-        cfg, max_bins=min(bin_bucket_for(n_bins), cfg.max_bins))
-
-    def make_run(cfg):
-        def one_frame(state, inputs):
-            depth, R, T = inputs
-            state, stats = tsdf_ops.integrate_depth(cfg, state, depth,
-                                                    texture, R, T, K, K,
-                                                    jnp.int32(0))
-            dropped = stats["alloc_overflow"] + stats["touched_dropped"]
-            total_bins = stats["num_bins"] + stats["bins_dropped"]
-            return state, (dropped, total_bins)
-
-        @jax.jit
-        def run_all(state, frames, Rs, Ts):
-            state, (dropped, total_bins) = jax.lax.scan(
-                one_frame, state, (frames, Rs, Ts))
-            # scalar readback closes the timing; drop stats guard honesty
-            return (state,
-                    jnp.sum(state.channels["TSDF"].astype(jnp.float32)),
-                    jnp.max(dropped), jnp.max(total_bins))
-        return run_all
-
-    # warmup/compile; size the bucket to the worst frame so no ray is
-    # silently capacity-dropped during the timed runs
-    run_all = make_run(cfg)
-    _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j, Ts_j)
-    float(s0)
-    for _ in range(4):
-        want = bin_bucket_for(int(max_bins))
-        if int(dropped) == 0 and want <= cfg.max_bins:
-            if want < cfg.max_bins:
-                cfg = dataclasses.replace(cfg, max_bins=want)
-                run_all = make_run(cfg)
-                _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j,
-                                                   Ts_j)
-                float(s0)
-            break
-        cfg = dataclasses.replace(
-            cfg, max_bins=max(want, cfg.max_bins),
-            max_touched_blocks=(cfg.max_touched_blocks * 2
-                                if int(dropped) > 0
-                                else cfg.max_touched_blocks))
-        run_all = make_run(cfg)
-        _, s0, dropped, max_bins = run_all(state, frames_j, Rs_j, Ts_j)
-        float(s0)
+    # map capacity comfortably above the scene's ~1k observed blocks; the
+    # zero-drop guard below counts alloc_overflow so an under-sized
+    # capacity cannot silently cheat. (A production-shaped 8192-block map
+    # is measured too — see the secondary field.)
+    cfg = TSDFConfig(
+        map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
+        max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
+        max_blocks=2048, max_bins=32768, max_submap_num=64,
+        max_touched_blocks=256)
 
     # RPC latency baseline
     tiny = jax.jit(lambda x: jnp.sum(x))
@@ -126,20 +80,167 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = min(lat)
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _, sval, _, _ = run_all(state, frames_j, Rs_j, Ts_j)
-        float(sval)
-        best = min(best, time.perf_counter() - t0)
-    per_frame = max(best - lat, 1e-9) / n_frames
-    fps = 1.0 / per_frame
+    def make_run(cfg, esdf_cap=None, budget=6):
+        """Scan all frames: integrate + per-frame incremental ESDF
+        (block-incremental mode with updated-voxel gating, ops/esdf.py:
+        esdf_seed_dirty -> esdf_update over the dirty-dilated working set,
+        budget-bounded sweeps, residual wavefronts re-queued into the next
+        frame via the pending bitmap — voxblox's amortized queue behavior).
+        esdf_cap=None disables the ESDF."""
+        spec = cfg.grid
+        shape = (spec.max_blocks + 1, spec.voxels_per_block)
+
+        def one_frame(carry, inputs):
+            state, esdf, fixed, pending, seen_t, seen_o = carry
+            depth, R, T = inputs
+            state, stats = tsdf_ops.integrate_depth(
+                cfg, state, depth, texture, R, T, K, K, jnp.int32(0))
+            if esdf_cap:
+                dirty, seen_t, seen_o = esdf_ops.esdf_seed_dirty(
+                    cfg, state, seen_t, seen_o, stats["touched_blocks"])
+                dirty = dirty | pending
+                esdf, fixed, _, _, pending, ov = esdf_ops.esdf_update(
+                    cfg, budget, esdf_cap, state, esdf, fixed,
+                    jnp.int32(0), dirty)
+            else:
+                ov = jnp.int32(0)
+            drop_fuse = stats["alloc_overflow"] + stats["touched_dropped"]
+            total_bins = stats["num_bins"] + stats["bins_dropped"]
+            return (state, esdf, fixed, pending, seen_t, seen_o), \
+                (drop_fuse, ov, total_bins)
+
+        @jax.jit
+        def run_all(state, frames, Rs, Ts):
+            esdf0 = jnp.zeros(shape, jnp.float32)
+            fixed0 = jnp.zeros(shape, jnp.int8)
+            pend0 = jnp.zeros((shape[0],), bool)
+            seen_t0 = jnp.zeros(shape, jnp.float32)
+            seen_o0 = jnp.zeros(shape, bool)
+            carry0 = (state, esdf0, fixed0, pend0, seen_t0, seen_o0)
+            (state, esdf, *_), (drop_fuse, ov, total_bins) = jax.lax.scan(
+                one_frame, carry0, (frames, Rs, Ts))
+            # scalar readback closes the timing; drop stats guard honesty
+            return (jnp.sum(state.channels["TSDF"].astype(jnp.float32)) +
+                    jnp.sum(esdf),
+                    jnp.max(drop_fuse), jnp.max(ov), jnp.max(total_bins))
+        return run_all
+
+    def size_and_time(cfg, esdf_cap=None, budget=6):
+        """Grow capacities until zero drops, then time. Returns
+        (ms_per_frame, cfg)."""
+        state = tsdf_ops.make_tsdf_state(cfg)
+        run_all = make_run(cfg, esdf_cap, budget)
+        s0, dropped, esdf_ov, max_bins = run_all(state, frames_j, Rs_j,
+                                                 Ts_j)
+        float(s0)
+        for _ in range(6):
+            want = bin_bucket_for(int(max_bins))
+            if int(esdf_ov) > 0:
+                need = esdf_cap + int(esdf_ov)
+                while esdf_cap < need:
+                    esdf_cap *= 2
+            elif int(dropped) == 0 and want >= cfg.max_bins:
+                break
+            elif int(dropped) == 0 and want < cfg.max_bins:
+                cfg = dataclasses.replace(cfg, max_bins=want)
+            else:
+                cfg = dataclasses.replace(
+                    cfg, max_bins=max(want, cfg.max_bins),
+                    max_touched_blocks=cfg.max_touched_blocks * 2)
+            run_all = make_run(cfg, esdf_cap, budget)
+            s0, dropped, esdf_ov, max_bins = run_all(state, frames_j, Rs_j,
+                                                     Ts_j)
+            float(s0)
+        # the guard: the timed executable must have dropped NOTHING
+        assert int(dropped) == 0 and int(esdf_ov) == 0, \
+            f"capacity drops in timed run: {dropped} esdf_ov: {esdf_ov}"
+
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sval, drp, ov2, _ = run_all(state, frames_j, Rs_j, Ts_j)
+            float(sval)
+            best = min(best, time.perf_counter() - t0)
+        assert int(drp) == 0 and int(ov2) == 0
+        return max(best - lat, 1e-9) / n_frames * 1000.0, cfg
+
+    # ---- size bins on fusion-only ------------------------------------------
+    ms_fuse, cfg_sized = size_and_time(cfg, esdf_cap=None)
+    fps_fuse = 1000.0 / ms_fuse
+
+    from taichislam_tpu.ops import marching_cubes as mc_ops
+    state = tsdf_ops.make_tsdf_state(cfg_sized)
+
+    @jax.jit
+    def build(state, frames, Rs, Ts):
+        def body(st, inputs):
+            depth, R, T = inputs
+            st, _ = tsdf_ops.integrate_depth(cfg_sized, st, depth, texture,
+                                             R, T, K, K, jnp.int32(0))
+            return st, None
+        st, _ = jax.lax.scan(body, state, (frames, Rs, Ts))
+        return st
+    full_state = build(state, frames_j, Rs_j, Ts_j)
+    jax.block_until_ready(full_state.channels["TSDF"])
+    sb_cap = 256
+    thres = jnp.float32(cfg_sized.tsdf_surface_thres)
+
+    # ---- primary: fusion + per-frame incremental ESDF -----------------------
+    # The ESDF runs EVERY frame with a bounded sweep budget; residual
+    # wavefronts continue next frame (voxblox's production behavior: its
+    # raise/lower queues are also budget-bounded per cycle). The fixed point
+    # is exact once drained — property-tested in tests/test_esdf.py.
+    # Production field knobs (documented bounded-staleness, all tighter
+    # than voxblox's min_diff_m=0.05 m default): raise hysteresis 0.5
+    # voxels (0.025 m), convergence eps 2 mm (sensor noise floor), seed
+    # gating 0.25 voxels (cfg default).
+    esdf_cfg = dataclasses.replace(cfg_sized, esdf_raise_slack_voxels=0.5,
+                                   esdf_converge_eps=2e-3)
+    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=512, budget=6)
+    fps_esdf = 1000.0 / ms_esdf
+
+    # ---- secondary: ESDF drained to convergence every frame -----------------
+    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=512, budget=64)
+
+    def run_mc(k):
+        @jax.jit
+        def f(state):
+            def body(acc, _):
+                out = mc_ops.extract_mesh(cfg_sized, 1 << 18, 1, sb_cap,
+                                          state, jnp.int32(0),
+                                          thres + 0.0 * acc)
+                return acc + out["num_triangles"].astype(jnp.float32), None
+            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+            return acc
+        float(f(full_state))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(full_state))
+            best = min(best, time.perf_counter() - t0)
+        return best
+    mc_ms = (run_mc(6) - run_mc(2)) / 4 * 1000.0
+
+    # ---- secondary: production-shaped map (8192 blocks) ---------------------
+    big_cfg = dataclasses.replace(cfg_sized, max_blocks=8192,
+                                  map_scale=(40.0, 10.0))
+    ms_big, _ = size_and_time(big_cfg, esdf_cap=None)
+    fps_big = 1000.0 / ms_big
 
     print(json.dumps({
-        "metric": "depth_fusion_fps_640x480_5cm",
-        "value": round(fps, 2),
+        "metric": "depth_fusion_esdf_fps_640x480_5cm",
+        "value": round(fps_esdf, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / 200.0, 3),
+        "vs_baseline": round(fps_esdf / 200.0, 3),
+        "secondary": {
+            "fusion_only_fps": round(fps_fuse, 2),
+            "fusion_esdf_ms_per_frame": round(ms_esdf, 3),
+            "esdf_budget_sweeps": 6,
+            "esdf_drained_fps": round(1000.0 / ms_drained, 2),
+            "marching_cubes_full_map_ms": round(mc_ms, 2),
+            "fusion_fps_8192_blocks": round(fps_big, 2),
+            "n_frames": n_frames,
+        },
     }))
 
 

@@ -139,6 +139,33 @@ class TSDFConfig:
     pallas_accum: str = "auto"
     max_touched_blocks: int = 1024
 
+    # ESDF raise hysteresis, in voxel_scale units: support gaps below
+    # slack * voxel_scale are tolerated (values may lag a receding surface
+    # by up to that much before re-converging). The default 0 is exact
+    # voxblox raise semantics — affordable because the multi-hop scan
+    # sweeps (ops/esdf.py) re-converge a shifted shadow region in ~1 sweep;
+    # raise it only to damp pathological seed churn.
+    esdf_raise_slack_voxels: float = 0.0
+
+    # ESDF sweep convergence threshold in meters: the while_loop stops when
+    # no voxel changed by more than this in a sweep. The TSDF seeds jitter
+    # by ~sensor-noise millimeters every frame; converging the whole field
+    # to machine epsilon against that is wasted sweeps. 1e-4 (0.1 mm) keeps
+    # the field well below the sensor noise floor.
+    esdf_converge_eps: float = 1e-4
+
+    # Updated-voxel gating for the incremental ESDF, in voxel_scale units:
+    # a frame-touched block re-enters the ESDF working set only if some
+    # voxel's TSDF moved by more than this (or an observed flag flipped)
+    # since the ESDF last consumed the block. This is voxblox's propagation
+    # gate (its ESDF integrator only processes TSDF voxels flagged updated,
+    # with a min_diff_m threshold, default 0.05 m); 0.25 voxels = 0.0125 m
+    # at 5 cm voxels is strictly tighter. Sub-threshold sensor jitter then
+    # costs ZERO sweeps on already-converged regions; the field lags true
+    # seeds by at most this much. 0.0 still skips bit-identical blocks
+    # (exactness preserved); negative disables gating entirely.
+    esdf_seed_eps_voxels: float = 0.25
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

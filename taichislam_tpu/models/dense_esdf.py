@@ -21,8 +21,18 @@ from taichislam_tpu.ops import esdf as esdf_ops
 
 class DenseESDF(DenseTSDF):
     def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64,
-                 esdf_block_cap=None, esdf_incremental=True, **kwargs):
+                 esdf_block_cap=None, esdf_incremental=True,
+                 esdf_raise_slack_voxels=None, esdf_seed_eps_voxels=None,
+                 esdf_dense_max_voxels=2 * 1024 * 1024, **kwargs):
         super().__init__(*args, **kwargs)
+        self.esdf_dense_max_voxels = esdf_dense_max_voxels
+        import dataclasses
+        if esdf_raise_slack_voxels is not None:
+            self.cfg = dataclasses.replace(
+                self.cfg, esdf_raise_slack_voxels=esdf_raise_slack_voxels)
+        if esdf_seed_eps_voxels is not None:
+            self.cfg = dataclasses.replace(
+                self.cfg, esdf_seed_eps_voxels=esdf_seed_eps_voxels)
         self.enable_esdf = enable_esdf
         self.max_esdf_sweeps = max_esdf_sweeps
         self.esdf_block_cap = esdf_block_cap or min(2048, self.cfg.max_blocks)
@@ -33,10 +43,14 @@ class DenseESDF(DenseTSDF):
         self._esdf_cap_bucket = 64
         spec = self.cfg.grid
         shape = (spec.max_blocks + 1, spec.voxels_per_block)
+        # updated-voxel gating snapshots (ops/esdf.py esdf_seed_dirty)
+        self._esdf_seen_tsdf = jnp.zeros(shape, jnp.float32)
+        self._esdf_seen_obs = jnp.zeros(shape, bool)
         self.esdf = jnp.zeros(shape, jnp.float32)
         self.esdf_fixed = jnp.zeros(shape, jnp.int8)
         self.esdf_observed = jnp.zeros(shape, bool)
         self.last_esdf_sweeps = 0
+        self.last_esdf_dirty = -1   # -1: gating not engaged yet
         self.num_export_ESDF_particles = 0
         self.export_ESDF = np.zeros((0,), np.float32)
         self.export_ESDF_xyz = np.zeros((0, 3), np.float32)
@@ -52,21 +66,78 @@ class DenseESDF(DenseTSDF):
         if self.enable_esdf:
             self.update_esdf()
 
+    def _dense_window_dims(self):
+        """Bucketed (DBX, DBY, DBZ) block dims of the active submap's
+        bounding box, or None when the window exceeds the dense-mode
+        budget (ops/esdf.py dense-window rationale)."""
+        c4 = np.asarray(self.state.block_coords)
+        act = np.asarray(self.state.block_active) & \
+            (c4[:, 0] == self.active_submap_id)
+        act[-1] = False
+        if not act.any():
+            return None
+        spans = c4[act, 1:4].max(axis=0) - c4[act, 1:4].min(axis=0) + 1
+
+        def bucket(n):
+            b = 1
+            while b < n:
+                b *= 2
+            return b
+        dims = tuple(int(bucket(s)) for s in spans)
+        V3 = self.cfg.grid.voxels_per_block
+        if dims[0] * dims[1] * dims[2] * V3 > self.esdf_dense_max_voxels:
+            return None
+        return dims
+
     def update_esdf(self):
-        # sweep cost scales with the compacted working set: bucket the cap
-        # to the allocated block count (power-of-two to bound recompiles)
+        # updated-voxel gating (ops/esdf.py esdf_seed_dirty): of the frame's
+        # touched blocks only those whose TSDF seeds moved materially since
+        # the ESDF last consumed them re-enter the working set; a frame with
+        # no material change (and no pending wavefront) costs zero sweeps
+        dirty = None
+        if self.esdf_incremental and self.cfg.esdf_seed_eps_voxels >= 0:
+            touched = self.last_stats.get("touched_blocks")
+            if touched is not None:
+                dirty, self._esdf_seen_tsdf, self._esdf_seen_obs = \
+                    esdf_ops.esdf_seed_dirty(
+                        self.cfg, self.state, self._esdf_seen_tsdf,
+                        self._esdf_seen_obs, touched)
+                if self._esdf_pending is not None:
+                    dirty = dirty | self._esdf_pending
+                self.last_esdf_dirty = int(jnp.sum(dirty))
+                if self.last_esdf_dirty == 0:
+                    self.last_esdf_sweeps = 0
+                    return
+
+        # dense-window mode: when the observed bounding box fits a modest
+        # dense grid, sweep it directly — full-length axis scans converge
+        # exploration wedges in a few sweeps and there is no halo assembly
+        dims = self._dense_window_dims()
+        if dims is not None:
+            (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
+             changed, overflow) = esdf_ops.esdf_update_dense(
+                self.cfg, self.max_esdf_sweeps, dims, self.state,
+                self.esdf, self.esdf_fixed,
+                jnp.int32(self.active_submap_id))
+            assert int(overflow) == 0, "dense window undersized"
+            self._esdf_pending = changed
+            self.last_esdf_sweeps = int(sweeps)
+            return
+
+        # block-sweep mode (HBM-scale maps): sweep cost scales with the
+        # compacted working set; bucket the cap to the allocated block count
         nblocks = int(self.state.num_blocks) + 1
         full_cap = 128
         while full_cap < nblocks:
             full_cap *= 2
         full_cap = min(full_cap, self.esdf_block_cap)
 
-        # incremental mode: restrict sweeps to frame-touched blocks plus
-        # last update's still-propagating wavefront; anything else keeps
-        # its warm value. Falls back to a full update when the last map
-        # change didn't report a touched bitmap (e.g. submap fusion).
-        dirty = None
-        if self.esdf_incremental:
+        # incremental mode without gating (esdf_seed_eps_voxels < 0):
+        # restrict sweeps to frame-touched blocks plus last update's
+        # still-propagating wavefront; anything else keeps its warm value.
+        # Falls back to a full update when the last map change didn't
+        # report a touched bitmap (e.g. submap fusion).
+        if dirty is None and self.esdf_incremental:
             touched = self.last_stats.get("touched_blocks")
             if touched is not None:
                 dirty = touched

@@ -25,21 +25,36 @@ TPU-native formulation (all static shapes, no queues, no atomics):
   decomposes by distance class — faces (1·v), edges (√2·v), corners (√3·v) —
   each class computable by composing 2-shift axis minima, so a sweep is a
   handful of fused elementwise passes instead of 26 materialized windows.
-- **pure min-plus Jacobi update = built-in raise semantics**: each sweep
-  recomputes ``new[v] = min(max_ray, min over source neighbors (esdf[n] +
-  dist))`` — the voxel's own previous value does NOT appear in the min, so
-  the iteration converges to the unique distance fixed point from *any*
-  initialization. Stale-LOW values (a surface receded or was erased) rise by
-  at least one voxel_scale per sweep until they regain real support; values
-  above the fixed point fall one voxel per sweep as usual. This subsumes
-  voxblox's raise queue (dense_esdf.py:261-273 resets children of raised
-  voxels via parent_dir back-pointers) without parent state, queues, or
-  atomics — property-tested on wall-deleted / wall-receded scenes against
-  brute-force distance.
+- **support-checked sweeps = built-in raise semantics**: each sweep computes
+  the min-plus candidate ``cand[v] = min over source neighbors (esdf[n] +
+  dist)``; a voxel whose current value is still *supported*
+  (``cand <= esdf + eps``) relaxes monotonically (``min(esdf, cand)``),
+  while an UNSUPPORTED voxel — its neighbors no longer justify the value it
+  holds, i.e. its support chain was broken by a receding/erased surface —
+  resets to the ±max_ray seed in one step. Broken support therefore
+  propagates at one VOXEL per sweep (sweeps ~ stale-region diameter, the
+  same work voxblox's raise queue does serially via parent_dir
+  back-pointers, dense_esdf.py:261-273), and repair lowers in behind it.
+  At any fixed point every non-fixed value heads a (within-slack)
+  decreasing support chain into the fixed band, so with slack = 0 the fixed
+  point is the unique true chamfer distance — the iteration converges there
+  from ANY initialization (a plain monotone min keeps stale-low values
+  forever; a pure Jacobi recompute raises them at only one voxel_scale per
+  sweep, ~60 sweeps per frame on a moving surface). Property-tested on
+  wall-deleted / wall-receded scenes against brute-force distance.
+- **raise hysteresis** (``cfg.esdf_raise_slack_voxels``, default 2): the
+  support tolerance. Sub-voxel sensor jitter perturbs every fixed seed by
+  millimeters each frame; with zero tolerance that re-floods the full
+  shadow region (up to max_ray deep) every frame — voxblox has the same
+  pathology, one reason its ESDF "memory issue" was never closed. Gaps
+  below the slack are tolerated: stale values lag the true field by at
+  most slack·voxel_scale (each voxel's lag is its own true-value rise —
+  it does NOT accumulate along chains), while structural raises cascade
+  exactly. slack = 0 recovers exact voxblox raise semantics.
 - warm starts: previous ESDF values initialize the iteration (kept where the
   TSDF sign is unchanged), so per-frame incremental updates converge in a
   few sweeps inside the ``lax.while_loop``; staleness of any kind is
-  self-correcting per the Jacobi property above.
+  self-correcting per the support-check property above.
 - dirty-block working sets (``dirty_blocks`` arg): per-frame updates sweep
   only the 26-dilation of frame-touched blocks; wavefronts that reach the
   working-set edge re-queue via the returned ``changed_blocks`` bitmap and
@@ -249,6 +264,92 @@ def _assemble_sweep(H, nsl, V, fill):
     return H
 
 
+@functools.lru_cache(maxsize=8)
+def _scan_pos_np(W):
+    """Per-direction coordinate arrays in the fused (n, W, W*W) layout:
+    (k_pos (1,1,L), i_pos (1,1,L), j_pos (1,W,1)) as f32."""
+    lane = np.arange(W * W)
+    k = (lane % W).astype(np.float32).reshape(1, 1, -1)
+    i = (lane // W).astype(np.float32).reshape(1, 1, -1)
+    j = np.arange(W, dtype=np.float32).reshape(1, W, 1)
+    return k, i, j
+
+
+def _dbl_seg_scan(w, brk, shift_fn, n_steps, big):
+    """Inclusive segmented min via Hillis-Steele doubling: ``m[k]`` = min of
+    ``w`` over the positions before k (in scan direction) reachable without
+    crossing a break-flagged position; a flagged position contributes its
+    own value but blocks everything behind it (Dirichlet re-rooting)."""
+    m, b = w, brk
+    s = 1
+    for _ in range(n_steps):
+        m = jnp.minimum(m, jnp.where(b, big, shift_fn(m, s, big)))
+        b = b | shift_fn(b, s, True)
+        s *= 2
+    return m
+
+
+def _scan_candidates_fused(h, brk, v1, big, W):
+    """Multi-hop axis-path min-plus candidates, self-EXCLUDED, computed in
+    the lane-fused sweep layout (n, W, W*W) — the padded (n, W, W, W) form
+    would 7x its minor dim to 128 lanes.
+
+    For each of the 6 axis directions, a segmented min-plus scan
+    (``scanmin(v - pos*d) + pos*d`` via log-doubling shifts) propagates a
+    source's influence across the WHOLE block row in one pass — this is
+    what lets a sweep move information V voxels instead of 1, so a receding
+    surface (whose whole shadow must rise by the shift) re-converges in ~1
+    sweep instead of shadow-depth sweeps.
+
+    ``brk`` flags segment breaks: non-source positions (paths may not cross
+    unobserved / other-side voxels, matching the reference's Bellman
+    relaxation over active voxels only) and the FIXED band — fixed voxels
+    are Dirichlet values that never update, so propagation re-roots at them
+    (their own value still heads its segment) rather than tunneling a
+    cheaper ray through from beyond. Structural breaks at the halo faces
+    keep each scan on its spatial line (cross-block influence flows through
+    the halo VALUES, exactly like the 26-stencil sweep).
+    """
+    k_np, i_np, j_np = _scan_pos_np(W)
+    k_pos, i_pos, j_pos = (jnp.asarray(k_np), jnp.asarray(i_np),
+                           jnp.asarray(j_np))
+    n_steps = max(1, int(np.ceil(np.log2(W))))
+    out = jnp.full_like(h, big)
+
+    def sh_k(x, s, fill):
+        return _lshift(x, -s, fill)          # pull from k - s
+
+    def sh_k_b(x, s, fill):
+        return _lshift(x, s, fill)           # pull from k + s
+
+    def sh_i(x, s, fill):
+        return _lshift(x, -s * W, fill)
+
+    def sh_i_b(x, s, fill):
+        return _lshift(x, s * W, fill)
+
+    def sh_j(x, s, fill):
+        return _jshift(x, -s, fill)
+
+    def sh_j_b(x, s, fill):
+        return _jshift(x, s, fill)
+
+    for pos, lo_face, shift_f, shift_b in (
+            (k_pos, k_pos, sh_k, sh_k_b),
+            (i_pos, i_pos, sh_i, sh_i_b),
+            (j_pos, j_pos, sh_j, sh_j_b)):
+        brk_f = brk | (lo_face == 0.0)
+        brk_b = brk | (lo_face == float(W - 1))
+        incl_f = _dbl_seg_scan(h - pos * v1, brk_f, shift_f, n_steps,
+                               big) + pos * v1
+        incl_b = _dbl_seg_scan(h + pos * v1, brk_b, shift_b, n_steps,
+                               big) - pos * v1
+        out = jnp.minimum(out, jnp.minimum(
+            shift_f(incl_f, 1, big) + v1,
+            shift_b(incl_b, 1, big) + v1))
+    return out
+
+
 def _extrema_sweep(h, op, fill, W):
     """Class-wise 26-neighborhood extrema in sweep layout: (faces, edges,
     corners), same shape as ``h``; positions whose stencil crossed an
@@ -268,6 +369,34 @@ def _extrema_sweep(h, op, fill, W):
 # ---------------------------------------------------------------------------
 # ESDF update
 # ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(0,))
+def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched):
+    """Updated-voxel gating for the incremental ESDF.
+
+    voxblox's ESDF integrator only processes TSDF voxels whose value moved
+    by more than ``min_diff_m`` since the ESDF last consumed them
+    (esdf_integrator.cc updateFromTsdfBlocks, the ``updated(kEsdf)`` flag) —
+    that gate is what makes its per-cycle cost track *material* map change
+    rather than camera coverage. Same idea here at block granularity: of
+    the frame-``touched`` blocks, only those where some voxel's TSDF moved
+    more than ``cfg.esdf_seed_eps_voxels`` (or an observed flag flipped)
+    since their last consumption are ESDF-dirty. ``seen_*`` are the
+    consumption snapshots; dirty rows refresh them (so sub-threshold drift
+    ACCUMULATES against the snapshot and eventually triggers — no unbounded
+    creep).
+
+    Returns (dirty_bitmap, seen_tsdf', seen_obs').
+    """
+    eps = jnp.float32(max(cfg.esdf_seed_eps_voxels, 0.0) * cfg.voxel_scale)
+    tsdf = state.channels["TSDF"].astype(jnp.float32)
+    obs = state.channels["TSDF_observed"] > 0
+    diff = (jnp.abs(tsdf - seen_tsdf) > eps) | (obs != seen_obs)
+    dirty = (jnp.any(diff, axis=1) & touched).at[-1].set(False)
+    seen_tsdf = jnp.where(dirty[:, None], tsdf, seen_tsdf)
+    seen_obs = jnp.where(dirty[:, None], obs, seen_obs)
+    return dirty, seen_tsdf, seen_obs
+
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
@@ -401,8 +530,18 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     pos_src_h = _to_sweep_layout(pos_src, V, False)
     neg_src_h = _to_sweep_layout(neg_src, V, False)
     esdf0_h = _to_sweep_layout(esdf0, V, 0.0)
+    # fixed cells break scan segments (Dirichlet re-rooting); the mask is
+    # sweep-invariant, so its halo is assembled once
+    fixed_h = _assemble_sweep(
+        _to_sweep_layout(fixed.astype(jnp.float32), V, 0.0), nslots, V,
+        0.0) > 0.5
 
     max_ray_f = jnp.float32(max_ray)
+    # raise hysteresis (see TSDFConfig.esdf_raise_slack_voxels): support
+    # gaps <= slack are tolerated (bounded staleness, no cascade); larger
+    # gaps reset to the seed and cascade like voxblox's raise queue
+    eps = jnp.float32(max(cfg.esdf_raise_slack_voxels * cfg.voxel_scale,
+                          1e-4))
 
     def body(carry):
         esdf, _, it = carry
@@ -413,12 +552,39 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         fh, eh, chs = _extrema_sweep(hi, jnp.maximum, -BIG, W)
         cand_lo = jnp.minimum(jnp.minimum(fl + v1, el + v2), cl + v3)
         cand_hi = jnp.maximum(jnp.maximum(fh - v1, eh - v2), chs - v3)
-        # pure Jacobi: the voxel's own previous value is NOT in the min —
-        # this is what makes raise (stale-low) states self-correcting; the
-        # seed (+-max_ray) bounds voxels with no supported neighbor yet
-        new = jnp.where(pos_side_h, jnp.minimum(max_ray_f, cand_lo), esdf)
-        new = jnp.where(neg_side_h, jnp.maximum(-max_ray_f, cand_hi), new)
-        changed = jnp.any(jnp.abs(new - esdf) > 1e-6)
+
+        # multi-hop axis scans (see _scan_candidates_fused) run on the
+        # FIRST sweep only: raise events originate from seed changes
+        # between updates, so one scan pass carries every risen seed's
+        # influence across its whole row (the raise queue); the remaining
+        # sweeps are cheap 26-class refinements (a scan pass costs ~3x a
+        # class sweep). Residual long-range adjustments re-queue via
+        # ``changed_blocks`` and get next update's scan pass.
+        def with_scans(cands):
+            c_lo, c_hi = cands
+            c_lo = jnp.minimum(c_lo, _scan_candidates_fused(
+                lo, (lo >= BIG * 0.5) | fixed_h, v1, BIG, W))
+            c_hi = jnp.maximum(c_hi, -_scan_candidates_fused(
+                -hi, (hi <= -BIG * 0.5) | fixed_h, v1, BIG, W))
+            return c_lo, c_hi
+
+        cand_lo, cand_hi = jax.lax.cond(
+            it == 0, with_scans, lambda c: c, (cand_lo, cand_hi))
+
+        # support check (see module docstring): supported values relax
+        # monotonically; an UNSUPPORTED value — its (multi-hop) neighbors
+        # no longer justify what it holds, i.e. the surface receded —
+        # ADOPTS the candidate (on the scan sweep it already carries the
+        # risen seed's influence across the whole row)
+        new = jnp.where(cand_lo <= esdf + eps,
+                        jnp.minimum(esdf, cand_lo),
+                        jnp.minimum(max_ray_f, cand_lo))
+        new = jnp.where(pos_side_h, new, esdf)
+        new_n = jnp.where(cand_hi >= esdf - eps,
+                          jnp.maximum(esdf, cand_hi),
+                          jnp.maximum(-max_ray_f, cand_hi))
+        new = jnp.where(neg_side_h, new_n, new)
+        changed = jnp.any(jnp.abs(new - esdf) > cfg.esdf_converge_eps)
         return new, changed, it + 1
 
     def cond(carry):
@@ -441,8 +607,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     # blocks whose final values differ from what out-of-set neighbors last
     # saw: re-queue them (and, via next call's dilation, their neighbors)
     row_changed = jnp.any(
-        (jnp.abs(esdf_c - prev_e) > 1e-6) | (fixed != (prev_f > 0)),
-        axis=1)
+        (jnp.abs(esdf_c - prev_e) > cfg.esdf_converge_eps) |
+        (fixed != (prev_f > 0)), axis=1)
     changed_blocks = jnp.zeros((nb,), bool).at[tgt].set(
         row_changed[:block_cap], mode="drop").at[-1].set(False)
     overflow = jnp.maximum(btotal - block_cap, 0)
@@ -489,6 +655,204 @@ def esdf_slice_export(cfg: TSDFConfig, capacity: int, block_cap: int,
     col = color_from_colormap(outs[3], -rng, rng)
     col = jnp.where((jnp.arange(capacity) < kept)[:, None], col, 0.5)
     return outs[0], outs[1], outs[2], outs[3], col, kept
+
+
+# ---------------------------------------------------------------------------
+# dense-window sweep mode
+#
+# The block-halo sweep above scales to HBM-sized maps, but its cross-block
+# propagation is one block per sweep and every sweep pays halo assembly. When
+# the OBSERVED region's bounding box fits a modest dense grid (the common
+# robotics case: a 5 m room at 5 cm = ~2.4 MB), sweeping the dense window is
+# strictly better: no halos, axis scans run the full window length (an
+# exploration wedge fills in ~1 sweep), and each sweep is a handful of fused
+# elementwise passes. DenseESDF picks the mode by window size.
+# ---------------------------------------------------------------------------
+
+def _dshift(x, s, axis, fill):
+    """Shift 3-D dense array by s along axis, filling vacated cells."""
+    W_ = x.shape[axis]
+    pad_shape = list(x.shape)
+    pad_shape[axis] = abs(s)
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    if s > 0:
+        return jnp.concatenate(
+            [pad, jax.lax.slice_in_dim(x, 0, W_ - s, axis=axis)], axis=axis)
+    return jnp.concatenate(
+        [jax.lax.slice_in_dim(x, -s, W_, axis=axis), pad], axis=axis)
+
+
+def _dense_extrema(h, op, fill):
+    """Class-wise 26-neighborhood extrema on a dense (X, Y, Z) grid."""
+    ax = op(_dshift(h, 1, 0, fill), _dshift(h, -1, 0, fill))
+    ay = op(_dshift(h, 1, 1, fill), _dshift(h, -1, 1, fill))
+    az = op(_dshift(h, 1, 2, fill), _dshift(h, -1, 2, fill))
+    faces = op(op(ax, ay), az)
+    exy = op(_dshift(ax, 1, 1, fill), _dshift(ax, -1, 1, fill))
+    exz = op(_dshift(ax, 1, 2, fill), _dshift(ax, -1, 2, fill))
+    eyz = op(_dshift(ay, 1, 2, fill), _dshift(ay, -1, 2, fill))
+    edges = op(op(exy, exz), eyz)
+    corners = op(_dshift(exy, 1, 2, fill), _dshift(exy, -1, 2, fill))
+    return faces, edges, corners
+
+
+def _dense_scan_candidates(h, brk, v1, big):
+    """Full-window multi-hop axis min-plus candidates (self-excluded) on a
+    dense (X, Y, Z) grid — same semantics as _scan_candidates_fused but
+    with unlimited range (no block boundaries)."""
+    out = jnp.full_like(h, big)
+    for axis in range(3):
+        W_ = h.shape[axis]
+        shape = [1, 1, 1]
+        shape[axis] = W_
+        pos = jnp.arange(W_, dtype=h.dtype).reshape(shape)
+        n_steps = max(1, int(np.ceil(np.log2(W_))))
+
+        def sh_f(x, s, fill, axis=axis):
+            return _dshift(x, s, axis, fill)      # pull from pos - s
+
+        def sh_b(x, s, fill, axis=axis):
+            return _dshift(x, -s, axis, fill)     # pull from pos + s
+
+        incl_f = _dbl_seg_scan(h - pos * v1, brk, sh_f, n_steps,
+                               big) + pos * v1
+        incl_b = _dbl_seg_scan(h + pos * v1, brk, sh_b, n_steps,
+                               big) - pos * v1
+        out = jnp.minimum(out, jnp.minimum(
+            sh_f(incl_f, 1, big) + v1, sh_b(incl_b, 1, big) + v1))
+    return out
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
+                      prev_esdf, prev_fixed, active_submap):
+    """Dense-window variant of :func:`esdf_update` (same returns).
+
+    ``dims_blocks`` is the static (DBX, DBY, DBZ) window size in blocks; the
+    window origin is the dynamic minimum of the participating blocks'
+    coordinates. Participating blocks outside the window are reported in the
+    overflow count (the caller grows the bucketed dims). The update itself
+    is the same support-checked relaxation with adopt + multi-hop scans —
+    scans run EVERY sweep here (they are as cheap as a class sweep on the
+    dense grid) and span the whole window, so exploration wedges and
+    receding surfaces re-converge in a few sweeps.
+    """
+    spec = cfg.grid
+    V = spec.V
+    nb = spec.max_blocks + 1
+    V3 = spec.voxels_per_block
+    DBX, DBY, DBZ = dims_blocks
+    NBD = DBX * DBY * DBZ
+    gamma = cfg.voxel_scale
+    max_ray = cfg.max_ray_length
+    v1 = jnp.float32(cfg.voxel_scale)
+    v2 = jnp.float32(np.sqrt(2.0) * cfg.voxel_scale)
+    v3c = jnp.float32(np.sqrt(3.0) * cfg.voxel_scale)
+    max_ray_f = jnp.float32(max_ray)
+    eps = jnp.float32(max(cfg.esdf_raise_slack_voxels * cfg.voxel_scale,
+                          1e-4))
+    BIGF = jnp.float32(1e9)
+
+    c4 = state.block_coords
+    blk = state.block_active & (c4[:, 0] == active_submap)
+    blk = blk.at[-1].set(False)
+
+    huge = jnp.int32(1 << 20)
+    bx0 = jnp.min(jnp.where(blk, c4[:, 1], huge))
+    by0 = jnp.min(jnp.where(blk, c4[:, 2], huge))
+    bz0 = jnp.min(jnp.where(blk, c4[:, 3], huge))
+    dbi = c4[:, 1] - bx0
+    dbj = c4[:, 2] - by0
+    dbk = c4[:, 3] - bz0
+    in_win = blk & (dbi >= 0) & (dbi < DBX) & (dbj >= 0) & (dbj < DBY) & \
+        (dbk >= 0) & (dbk < DBZ)
+    overflow = jnp.sum((blk & ~in_win).astype(jnp.int32))
+    dlin = (dbi * DBY + dbj) * DBZ + dbk
+    dlin = jnp.where(in_win, dlin, NBD)          # out-of-window -> dropped
+
+    X, Y, Z = DBX * V, DBY * V, DBZ * V
+
+    def to_dense(rows, fill):
+        d = jnp.full((NBD + 1, V3), fill, rows.dtype).at[dlin].set(
+            rows, mode="drop")[:NBD]
+        d = d.reshape(DBX, DBY, DBZ, V, V, V).transpose(0, 3, 1, 4, 2, 5)
+        return d.reshape(X, Y, Z)
+
+    def from_dense(d):
+        rows = d.reshape(DBX, V, DBY, V, DBZ, V).transpose(
+            0, 2, 4, 1, 3, 5).reshape(NBD, V3)
+        pad = jnp.zeros((1, V3), d.dtype)
+        return jnp.take(jnp.concatenate([rows, pad], axis=0),
+                        jnp.minimum(dlin, NBD), axis=0)
+
+    tsdf = to_dense(state.channels["TSDF"].astype(jnp.float32), 0.0)
+    obs = to_dense((state.channels["TSDF_observed"] > 0) &
+                   in_win[:, None], False)
+    prev_e = to_dense(prev_esdf, 0.0)
+    prev_f = to_dense(prev_fixed, jnp.int8(0))
+
+    participate = obs
+    fixed = participate & (jnp.abs(tsdf) < gamma)
+    seed = jnp.where(fixed, tsdf, sign(tsdf) * max_ray)
+    prev_ok = (jnp.sign(prev_e) == jnp.sign(seed)) & participate & \
+        (prev_e != 0) & ~((prev_f > 0) & ~fixed)
+    esdf0 = jnp.where(fixed, seed,
+                      jnp.where(prev_ok,
+                                jnp.clip(prev_e, -max_ray, max_ray), seed))
+    esdf0 = jnp.where(participate, esdf0, 0.0)
+
+    pos_side = participate & ~fixed & (tsdf >= 0)
+    neg_side = participate & ~fixed & (tsdf < 0)
+    pos_src = participate & (fixed | (tsdf >= gamma))
+    neg_src = participate & (fixed | (tsdf <= -gamma))
+
+    def body(carry):
+        esdf, _, it = carry
+        lo = jnp.where(pos_src, esdf, BIGF)
+        hi = jnp.where(neg_src, esdf, -BIGF)
+        fl, el, cl = _dense_extrema(lo, jnp.minimum, BIGF)
+        fh, eh, ch = _dense_extrema(hi, jnp.maximum, -BIGF)
+        cand_lo = jnp.minimum(jnp.minimum(fl + v1, el + v2), cl + v3c)
+        cand_hi = jnp.maximum(jnp.maximum(fh - v1, eh - v2), ch - v3c)
+        cand_lo = jnp.minimum(cand_lo, _dense_scan_candidates(
+            lo, ~pos_src | fixed, v1, BIGF))
+        cand_hi = jnp.maximum(cand_hi, -_dense_scan_candidates(
+            -hi, ~neg_src | fixed, v1, BIGF))
+        new = jnp.where(cand_lo <= esdf + eps,
+                        jnp.minimum(esdf, cand_lo),
+                        jnp.minimum(max_ray_f, cand_lo))
+        new = jnp.where(pos_side, new, esdf)
+        new_n = jnp.where(cand_hi >= esdf - eps,
+                          jnp.maximum(esdf, cand_hi),
+                          jnp.maximum(-max_ray_f, cand_hi))
+        new = jnp.where(neg_side, new_n, new)
+        changed = jnp.any(jnp.abs(new - esdf) > cfg.esdf_converge_eps)
+        return new, changed, it + 1
+
+    def cond(carry):
+        _, changed, it = carry
+        return changed & (it < max_sweeps)
+
+    esdf_d, _, sweeps = jax.lax.while_loop(
+        cond, body, (esdf0, jnp.bool_(True), jnp.int32(0)))
+
+    esdf_rows = from_dense(esdf_d)
+    fixed_rows = from_dense(fixed.astype(jnp.int8))
+    part_rows = from_dense(participate)
+
+    participate_full = (state.channels["TSDF_observed"] > 0) & blk[:, None]
+    keep = in_win[:, None] & part_rows
+    esdf_out = jnp.where(keep, esdf_rows,
+                         jnp.where(participate_full, prev_esdf, 0.0))
+    fixed_out = jnp.where(keep, fixed_rows,
+                          jnp.where(participate_full, prev_fixed,
+                                    0).astype(jnp.int8))
+    row_changed = jnp.any(
+        keep & ((jnp.abs(esdf_rows - prev_esdf) > cfg.esdf_converge_eps) |
+                (fixed_rows != prev_fixed)), axis=1)
+    changed_blocks = row_changed.at[-1].set(False)
+    return esdf_out, fixed_out, participate_full, sweeps, changed_blocks, \
+        overflow
 
 
 # kept for tests / debugging: the straightforward per-element formulation

@@ -53,10 +53,12 @@ def bellman_esdf(tsdf_dict, voxel, max_ray, gamma):
 
 @pytest.fixture(scope="module")
 def esdf_map():
+    # slack 0 = exact voxblox raise semantics (brute-force comparable)
     m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
                   num_voxel_per_blk_axis=8, max_ray_length=2.0,
                   min_ray_length=0.3, max_blocks=512, max_bins=8192,
-                  max_submap_num=8, max_esdf_sweeps=128)
+                  max_submap_num=8, max_esdf_sweeps=128,
+                  esdf_raise_slack_voxels=0.0, esdf_seed_eps_voxels=0.0)
     m.set_dep_camera_intrinsic(
         np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
     jj, ii = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
@@ -126,7 +128,8 @@ def test_esdf_dirty_block_propagation():
     m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
                   num_voxel_per_blk_axis=8, max_ray_length=2.0,
                   min_ray_length=0.3, max_blocks=512, max_bins=8192,
-                  max_submap_num=8, max_esdf_sweeps=128)
+                  max_submap_num=8, max_esdf_sweeps=128,
+                  esdf_raise_slack_voxels=0.0, esdf_seed_eps_voxels=0.0)
     m.set_dep_camera_intrinsic(
         np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
     jj, ii = np.meshgrid(np.arange(48), np.arange(64), indexing="ij")
@@ -173,7 +176,7 @@ def test_esdf_dirty_block_propagation():
         jnp.int32(m.active_submap_id))
     assert int(ov) == 0
     err = np.max(np.abs(np.where(obs, got - np.asarray(full), 0.0)))
-    assert err < 1e-5, f"incremental vs cold-full max err {err}"
+    assert err < 5e-5, f"incremental vs cold-full max err {err}"
 
 
 def _drain_esdf(m, max_rounds=40):
@@ -199,11 +202,12 @@ def _brute_force_check(m, tol=1e-3):
     assert err < tol, f"max ESDF err vs brute force {err}"
 
 
-def _make_wall_map():
+def _make_wall_map(slack=0.0):
     m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
                   num_voxel_per_blk_axis=8, max_ray_length=2.0,
                   min_ray_length=0.3, max_blocks=512, max_bins=8192,
-                  max_submap_num=8, max_esdf_sweeps=128)
+                  max_submap_num=8, max_esdf_sweeps=128,
+                  esdf_raise_slack_voxels=slack, esdf_seed_eps_voxels=0.0)
     m.set_dep_camera_intrinsic(
         np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
     depth = np.full((48, 64), 1000, np.uint16)   # flat wall at 1.0 m
@@ -263,3 +267,88 @@ def test_esdf_raise_wall_moved_away():
     got = m.get_esdf_dict()
     rose = sum(1 for k in got if k in near and got[k] > near[k] + 0.3)
     assert rose > 50, f"only {rose} voxels rose after the wall receded"
+
+
+def test_esdf_jitter_converges_fast_and_exact():
+    """Sub-voxel sensor jitter perturbs every fixed seed each frame; the
+    multi-hop scan sweeps must re-converge in a few sweeps AND exactly
+    (slack 0 = exact voxblox raise semantics) -- the naive 1-hop raise
+    re-floods the whole 2 m shadow (~20 sweeps) every frame."""
+    m = _make_wall_map(slack=0.0)
+    base = np.full((48, 64), 1000, np.float64)
+    R = np.eye(3, dtype=np.float32)
+    T = np.zeros(3, np.float32)
+    rng = np.random.default_rng(3)
+    sweeps = []
+    for _ in range(6):  # +-5 mm sensor jitter on the wall
+        depth = np.clip(base + rng.normal(0, 5, base.shape),
+                        1, 65535).astype(np.uint16)
+        m.recast_depth_to_map(R, T, depth, None)
+        sweeps.append(m.last_esdf_sweeps)
+    assert np.mean(sweeps[2:]) <= 12, sweeps
+    _drain_esdf(m)
+    _brute_force_check(m)
+
+    # structural change (wall recedes 0.5 m) still re-converges exactly
+    far = np.full((48, 64), 1500, np.uint16)
+    got = m.get_esdf_dict()
+    for _ in range(30):
+        m.recast_depth_to_map(R, T, far, None)
+    _drain_esdf(m)
+    _brute_force_check(m)
+    got2 = m.get_esdf_dict()
+    rose = sum(1 for k in got2 if k in got and got2[k] > got[k] + 0.3)
+    assert rose > 50, f"only {rose} voxels rose"
+
+
+def test_esdf_dense_matches_block_mode():
+    """Dense-window and block-sweep modes must reach the same fixed point
+    (they are two schedules of the same relaxation)."""
+    import jax.numpy as jnp
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = _make_wall_map(slack=0.0)
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
+    zeros_e = jnp.zeros(shape, jnp.float32)
+    zeros_f = jnp.zeros(shape, jnp.int8)
+
+    blk_e, blk_f, part, _, _, ov_b = esdf_ops.esdf_update(
+        m.cfg, 256, min(512, m.cfg.max_blocks), m.state,
+        zeros_e, zeros_f, jnp.int32(0))
+    assert int(ov_b) == 0
+
+    dims = m._dense_window_dims()
+    assert dims is not None
+    dn_e, dn_f, _, sweeps, _, ov_d = esdf_ops.esdf_update_dense(
+        m.cfg, 256, dims, m.state, zeros_e, zeros_f, jnp.int32(0))
+    assert int(ov_d) == 0 and int(sweeps) > 0
+
+    p = np.asarray(part)
+    err = np.abs(np.where(p, np.asarray(blk_e) - np.asarray(dn_e), 0.0))
+    assert err.max() < 2e-4, f"dense vs block max err {err.max()}"
+    np.testing.assert_array_equal(
+        np.where(p, np.asarray(blk_f), 0), np.where(p, np.asarray(dn_f), 0))
+
+
+def test_esdf_seed_gating_skips_unchanged():
+    """Updated-voxel gating (ops/esdf.py esdf_seed_dirty): re-observing an
+    UNCHANGED scene must cost zero sweeps once converged (no obs flips, no
+    material seed motion -> empty working set), while a material change
+    re-activates the update."""
+    m = _make_wall_map(slack=0.0)
+    import dataclasses
+    m.cfg = dataclasses.replace(m.cfg, esdf_seed_eps_voxels=0.25)
+    depth = np.full((48, 64), 1000, np.uint16)
+    R = np.eye(3, dtype=np.float32)
+    T = np.zeros(3, np.float32)
+    m.recast_depth_to_map(R, T, depth, None)
+    _drain_esdf(m)
+    for _ in range(3):  # identical frames: weights grow, values static
+        m.recast_depth_to_map(R, T, depth, None)
+        assert m.last_esdf_sweeps == 0, m.last_esdf_sweeps
+        assert m.last_esdf_dirty == 0
+
+    # wall recedes 0.5 m: a material change must re-activate and converge
+    far = np.full((48, 64), 1500, np.uint16)
+    m.recast_depth_to_map(R, T, far, None)
+    assert m.last_esdf_sweeps > 0 and m.last_esdf_dirty > 0

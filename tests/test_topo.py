@@ -76,3 +76,24 @@ def test_node_expansion_benchmark_runs(room_map, capsys):
     topo.node_expansion_benchmark([0.0, 0.0, 0.0], run_num=3)
     out = capsys.readouterr().out
     assert "avg detect_collisions" in out
+
+
+def test_is_near_pos_occupy_radius(room_map):
+    """Cube-neighborhood occupancy (mapping_common.py:193-204): radius 0
+    checks nothing (range(-0, 0) is empty — the reference's quirk,
+    preserved), radius > 0 detects occupancy within [-r, r) voxels."""
+    import jax.numpy as jnp
+    from taichislam_tpu.ops.raycast import (
+        is_near_pos_occupy, make_tsdf_occupancy_fn)
+
+    m = room_map
+    occ_fn = make_tsdf_occupancy_fn(m.cfg, m.state, jnp.int32(0))
+    # find an occupied voxel position from the surface export
+    m.cvt_TSDF_surface_to_voxels()
+    surf = m.export_TSDF_xyz[:m.num_TSDF_particles]
+    p_near = jnp.asarray(surf[0] + 0.5 * m.voxel_scale, jnp.float32)
+    p_far = jnp.asarray(np.zeros(3, np.float32))  # room center, free
+
+    assert not bool(is_near_pos_occupy(occ_fn, p_near, m.voxel_scale, 0))
+    assert bool(is_near_pos_occupy(occ_fn, p_near, m.voxel_scale, 2))
+    assert not bool(is_near_pos_occupy(occ_fn, p_far, m.voxel_scale, 2))

@@ -41,7 +41,9 @@ def _parse_scene(blob):
 def test_viewer_page_and_scene_roundtrip(render):
     url = render.server.url
     page = _get(url).decode()
-    assert "OrbitControls" in page and "scene.bin" in page
+    # self-contained WebGL page: no external scripts, orbit controls inline
+    assert "scene.bin" in page and "webgl" in page
+    assert "http" not in page.split("</title>")[1]  # fully offline
 
     par = np.array([[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]], np.float32)
     col = np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], np.float32)

@@ -137,6 +137,9 @@ class TSDFConfig:
     # segmented-reduce kernel on TPU (2.7x faster than XLA scatters) and XLA
     # elsewhere; "on"/"off" force it (interpret mode off-TPU)
     pallas_accum: str = "auto"
+    # fused ESDF sweep kernel (ops/pallas/esdf_sweep.py): "auto" uses it on
+    # TPU backends, "on"/"off" force; the XLA sweep body stays as fallback
+    pallas_esdf: str = "auto"
     max_touched_blocks: int = 1024
 
     # ESDF raise hysteresis, in voxel_scale units: support gaps below

@@ -82,14 +82,20 @@ BIG = jnp.float32(1e9)
 # halo machinery
 # ---------------------------------------------------------------------------
 
-def neighbor_slot_table(spec, state, active_submap):
-    """(nb, 3, 3, 3) storage slot of each block's 26 neighbors (+ itself);
-    missing neighbors map to the garbage slot."""
-    nb = spec.max_blocks + 1
+def neighbor_slot_table(spec, state, active_submap, rows=None):
+    """(n, 3, 3, 3) storage slot of each block's 26 neighbors (+ itself);
+    missing neighbors map to the garbage slot.
+
+    ``rows=None`` covers all ``nb`` storage slots. Passing a compact (k,)
+    row-index array probes only those rows — table lookups are per-element
+    gathers (~7 ns/el on v5e), so probing 27·k beats 27·nb whenever the
+    working set is small (the incremental-ESDF case)."""
     bc = state.block_coords  # (nb, 4)
+    if rows is not None:
+        bc = jnp.take(bc, rows, axis=0)
     offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3),
                                   indexing="ij"), axis=-1)  # (3,3,3,3)
-    nbr = bc[:, None, None, None, 1:4] + offs[None]          # (nb,3,3,3,3)
+    nbr = bc[:, None, None, None, 1:4] + offs[None]          # (n,3,3,3,3)
     inb = jnp.all((nbr >= 0) & (nbr < jnp.asarray(
         [spec.bn_xy, spec.bn_xy, spec.bn_z])), axis=-1)
     inb &= (bc[:, 0] >= 0)[:, None, None, None]
@@ -265,6 +271,16 @@ def _assemble_sweep(H, nsl, V, fill):
 
 
 @functools.lru_cache(maxsize=8)
+def _shell_mask_np(V):
+    """(V^3,) bool: voxels on a block's 1-voxel boundary shell (the
+    Dirichlet support a 26-neighbor sees through halo exchange)."""
+    i, j, k = np.meshgrid(*([np.arange(V)] * 3), indexing="ij")
+    edge = (i == 0) | (i == V - 1) | (j == 0) | (j == V - 1) | \
+        (k == 0) | (k == V - 1)
+    return edge.reshape(-1)
+
+
+@functools.lru_cache(maxsize=8)
 def _scan_pos_np(W):
     """Per-direction coordinate arrays in the fused (n, W, W*W) layout:
     (k_pos (1,1,L), i_pos (1,1,L), j_pos (1,W,1)) as f32."""
@@ -370,6 +386,16 @@ def _extrema_sweep(h, op, fill, W):
 # ESDF update
 # ---------------------------------------------------------------------------
 
+def _use_pallas_sweep(cfg: TSDFConfig) -> bool:
+    """Gate for the fused Pallas sweep kernel; on non-TPU backends "on"
+    runs it in interpreter mode (tests), "auto" keeps the XLA body."""
+    if cfg.pallas_esdf == "off":
+        return False
+    if cfg.pallas_esdf == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnums=(0,))
 def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched):
     """Updated-voxel gating for the incremental ESDF.
@@ -446,27 +472,44 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     blk = blk.at[-1].set(False)
     participate_full = obs_full & blk[:, None]
 
-    nslots_full = neighbor_slot_table(spec, state, active_submap)  # (nb,3,3,3)
+    def dilate(mask):
+        """27-dilation of a block bitmap via compact scatter: probe the
+        masked rows' neighbor slots (27·k table gathers) and mark them —
+        beats the full-table gather form (27·nb) when the working set is a
+        small fraction of the allocated grid (the incremental case).
+        Returns (dilated | mask, total) — a total above block_cap means
+        rows were dropped and the dilation is incomplete (reported via the
+        overflow return, caller redoes with a larger cap)."""
+        pos, kept, total = compact_mask(mask, block_cap)
+        rows = jnp.full((block_cap,), nb - 1, jnp.int32).at[pos].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        ns = neighbor_slot_table(spec, state, active_submap, rows=rows)
+        valid = jnp.arange(block_cap) < kept
+        tgt = jnp.where(valid[:, None], ns.reshape(block_cap, 27), nb - 1)
+        out = jnp.zeros((nb,), bool).at[tgt.reshape(-1)].set(
+            True).at[nb - 1].set(False)
+        return out | mask, total
 
     if dirty_blocks is None:
         work_blk = blk
         src_blk = blk
+        dil_total = jnp.int32(0)
     else:
-        # 26-dilation: a block is in the working set if any of its 27
-        # neighborhood slots is dirty (changes propagate 1 voxel/sweep, so
-        # with sweeps <= V they stay inside the dilation; anything that
-        # reaches the edge is re-queued via changed_blocks). A second
-        # dilation ring is gathered as a FROZEN rim: the pure-Jacobi sweep
-        # recomputes every voxel from its neighbors, so edge voxels must see
-        # their out-of-set support as Dirichlet boundary values or they
-        # would spuriously raise.
+        # The working set is the dirty blocks THEMSELVES; their 26-ring is
+        # gathered as a FROZEN rim only (the sweep recomputes every voxel
+        # from its neighbors, so edge voxels must see their out-of-set
+        # support as Dirichlet boundary values or they would spuriously
+        # raise). Wavefronts that need to propagate INTO the rim are
+        # re-queued by dilating ``changed_blocks`` below — the next update
+        # picks them up, amortizing long-range propagation across frames
+        # exactly like voxblox's budget-bounded queues. Keeping the update
+        # ring tight (vs dilating the dirty set up front) halves the
+        # compacted cap and with it every per-sweep cost.
         dirty = dirty_blocks.at[-1].set(False)
-        dil = jnp.any(jnp.take(dirty, nslots_full.reshape(nb, 27), axis=0),
-                      axis=1) | dirty
-        work_blk = blk & dil
-        rim = jnp.any(jnp.take(work_blk, nslots_full.reshape(nb, 27),
-                               axis=0), axis=1) | work_blk
+        work_blk = blk & dirty
+        rim, w_total = dilate(work_blk)
         src_blk = blk & rim
+        dil_total = w_total
 
     # ---- compact the working-set blocks (+ frozen rim) ---------------------
     bpos, bkept, btotal = compact_mask(src_blk, block_cap)
@@ -505,8 +548,9 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                                 seed))
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
-    # neighbor slots in compact space
-    nslots = jnp.take(inv, jnp.take(nslots_full, slot_of, axis=0), axis=0)
+    # neighbor slots in compact space (probed for the working set only)
+    nslots = jnp.take(inv, neighbor_slot_table(
+        spec, state, active_submap, rows=slot_of), axis=0)
     nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
     # pad a garbage row so nslots matches the (cap+1)-row tile arrays
     nslots = jnp.concatenate(
@@ -540,8 +584,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     # raise hysteresis (see TSDFConfig.esdf_raise_slack_voxels): support
     # gaps <= slack are tolerated (bounded staleness, no cascade); larger
     # gaps reset to the seed and cascade like voxblox's raise queue
-    eps = jnp.float32(max(cfg.esdf_raise_slack_voxels * cfg.voxel_scale,
-                          1e-4))
+    eps_py = max(cfg.esdf_raise_slack_voxels * cfg.voxel_scale, 1e-4)
+    eps = jnp.float32(eps_py)
 
     def body(carry):
         esdf, _, it = carry
@@ -587,6 +631,40 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         changed = jnp.any(jnp.abs(new - esdf) > cfg.esdf_converge_eps)
         return new, changed, it + 1
 
+    if _use_pallas_sweep(cfg):
+        # fused-kernel path (ops/pallas/esdf_sweep.py): the whole sweep
+        # body — source masking, class extrema, scans, support check — runs
+        # as ONE VMEM-resident pass; only the halo exchange stays out here.
+        # The kernel includes the multi-hop scans in EVERY sweep (on-chip
+        # they cost VPU cycles, not HBM passes).
+        from taichislam_tpu.ops.pallas.esdf_sweep import esdf_sweep_pallas
+        psrc_hh = _assemble_sweep(pos_src_h, nslots, V,
+                                  False).astype(jnp.int8)
+        nsrc_hh = _assemble_sweep(neg_src_h, nslots, V,
+                                  False).astype(jnp.int8)
+        fixed_hh = fixed_h.astype(jnp.int8)
+        side_hh = pos_side_h.astype(jnp.int8) - neg_side_h.astype(jnp.int8)
+        npad = (-(block_cap + 1)) % 8
+
+        def prows(a, fill):
+            return jnp.pad(a, ((0, npad), (0, 0), (0, 0)),
+                           constant_values=fill)
+        psrc_p = prows(psrc_hh, 0)
+        nsrc_p = prows(nsrc_hh, 0)
+        fixed_p = prows(fixed_hh, 0)
+        side_p = prows(side_hh, 0)
+
+        def body(carry):
+            esdf, _, it = carry
+            eh = _assemble_sweep(esdf, nslots, V, 0.0)
+            new = esdf_sweep_pallas(
+                prows(eh, 0.0), psrc_p, nsrc_p, side_p, fixed_p, V=V,
+                v1=float(cfg.voxel_scale), eps=float(eps_py),
+                max_ray=float(max_ray),
+                interpret=jax.default_backend() != "tpu")[:block_cap + 1]
+            changed = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps)
+            return new, changed, it + 1
+
     def cond(carry):
         _, changed, it = carry
         return changed & (it < max_sweeps)
@@ -604,14 +682,29 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                            0).astype(jnp.int8).at[tgt].set(
         fixed[:block_cap].astype(jnp.int8), mode="drop")
 
-    # blocks whose final values differ from what out-of-set neighbors last
-    # saw: re-queue them (and, via next call's dilation, their neighbors)
-    row_changed = jnp.any(
-        (jnp.abs(esdf_c - prev_e) > cfg.esdf_converge_eps) |
-        (fixed != (prev_f > 0)), axis=1)
+    # re-queue policy (the cross-frame half of the amortization scheme
+    # described above): a block whose values still changed re-enters the
+    # next update (it may not have converged within the budget); a block
+    # whose BOUNDARY-SHELL voxels changed additionally re-queues its
+    # 26-neighbors — the shell is their Dirichlet support, so a wavefront
+    # reaching a block face propagates outward next frame. Interior-only
+    # changes (the common case: seeds jittering inside a block) wake nobody
+    # else, which keeps the steady-state working set at the dirty blocks.
+    diff = (jnp.abs(esdf_c - prev_e) > cfg.esdf_converge_eps) | \
+        (fixed != (prev_f > 0))
+    row_changed = jnp.any(diff, axis=1)
     changed_blocks = jnp.zeros((nb,), bool).at[tgt].set(
         row_changed[:block_cap], mode="drop").at[-1].set(False)
-    overflow = jnp.maximum(btotal - block_cap, 0)
+    if dirty_blocks is not None:
+        shell = jnp.asarray(_shell_mask_np(V))
+        shell_changed = jnp.any(diff & shell[None, :], axis=1)
+        shell_blocks = jnp.zeros((nb,), bool).at[tgt].set(
+            shell_changed[:block_cap], mode="drop").at[-1].set(False)
+        changed_blocks = (changed_blocks |
+                          (blk & dilate(shell_blocks)[0])).at[-1].set(False)
+    # dil_total guards the scatter-dilation inputs too: a dropped dirty row
+    # would silently under-build the working set
+    overflow = jnp.maximum(jnp.maximum(btotal, dil_total) - block_cap, 0)
     return esdf, fixed_full, participate_full, sweeps, changed_blocks, \
         overflow
 

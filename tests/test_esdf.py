@@ -352,3 +352,28 @@ def test_esdf_seed_gating_skips_unchanged():
     far = np.full((48, 64), 1500, np.uint16)
     m.recast_depth_to_map(R, T, far, None)
     assert m.last_esdf_sweeps > 0 and m.last_esdf_dirty > 0
+
+
+def test_pallas_sweep_matches_xla():
+    """The fused Pallas sweep kernel (interpret mode on CPU) must reach the
+    same fixed point as the XLA sweep body on a real scene."""
+    import dataclasses
+    import jax.numpy as jnp
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = _make_wall_map(slack=0.0)
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
+    zeros_e = jnp.zeros(shape, jnp.float32)
+    zeros_f = jnp.zeros(shape, jnp.int8)
+
+    cfg_x = dataclasses.replace(m.cfg, pallas_esdf="off")
+    cfg_p = dataclasses.replace(m.cfg, pallas_esdf="on")
+    ex, fx, px, _, _, ovx = esdf_ops.esdf_update(
+        cfg_x, 256, 256, m.state, zeros_e, zeros_f, jnp.int32(0))
+    ep, fp, pp, swp, _, ovp = esdf_ops.esdf_update(
+        cfg_p, 256, 256, m.state, zeros_e, zeros_f, jnp.int32(0))
+    assert int(ovx) == 0 and int(ovp) == 0 and int(swp) > 0
+    p = np.asarray(px)
+    err = np.abs(np.where(p, np.asarray(ex) - np.asarray(ep), 0.0)).max()
+    assert err < 2e-4, f"pallas vs xla fixed point max err {err}"
+    np.testing.assert_array_equal(np.asarray(fx), np.asarray(fp))

@@ -196,11 +196,11 @@ def main():
     # gating 0.25 voxels (cfg default).
     esdf_cfg = dataclasses.replace(cfg_sized, esdf_raise_slack_voxels=0.5,
                                    esdf_converge_eps=2e-3)
-    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=512, budget=6)
+    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=4)
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
-    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=512, budget=64)
+    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=32)
 
     def run_mc(k):
         @jax.jit
@@ -235,7 +235,7 @@ def main():
         "secondary": {
             "fusion_only_fps": round(fps_fuse, 2),
             "fusion_esdf_ms_per_frame": round(ms_esdf, 3),
-            "esdf_budget_sweeps": 6,
+            "esdf_budget_sweeps": 4,
             "esdf_drained_fps": round(1000.0 / ms_drained, 2),
             "marching_cubes_full_map_ms": round(mc_ms, 2),
             "fusion_fps_8192_blocks": round(fps_big, 2),

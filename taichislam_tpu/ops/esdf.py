@@ -396,8 +396,9 @@ def _use_pallas_sweep(cfg: TSDFConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
-@partial(jax.jit, static_argnums=(0,))
-def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched):
+@partial(jax.jit, static_argnums=(0, 5))
+def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
+                    touched_cap: int = 512):
     """Updated-voxel gating for the incremental ESDF.
 
     voxblox's ESDF integrator only processes TSDF voxels whose value moved
@@ -412,15 +413,42 @@ def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched):
     ACCUMULATES against the snapshot and eventually triggers — no unbounded
     creep).
 
+    The compare runs on the compacted touched rows (row gathers are
+    DMA-class) rather than the full channel arrays — ~0.05 ms instead of a
+    ~0.3 ms full-array pass at 2048 blocks. ``touched_cap`` rows above the
+    cap degrade safely: they are treated as dirty UNCOMPARED (snapshots
+    refreshed), never silently skipped.
+
     Returns (dirty_bitmap, seen_tsdf', seen_obs').
     """
+    from taichislam_tpu.core.compaction import compact_mask
+
+    nb = cfg.grid.max_blocks + 1
     eps = jnp.float32(max(cfg.esdf_seed_eps_voxels, 0.0) * cfg.voxel_scale)
-    tsdf = state.channels["TSDF"].astype(jnp.float32)
-    obs = state.channels["TSDF_observed"] > 0
-    diff = (jnp.abs(tsdf - seen_tsdf) > eps) | (obs != seen_obs)
-    dirty = (jnp.any(diff, axis=1) & touched).at[-1].set(False)
-    seen_tsdf = jnp.where(dirty[:, None], tsdf, seen_tsdf)
-    seen_obs = jnp.where(dirty[:, None], obs, seen_obs)
+    touched = touched.at[-1].set(False)
+    pos, kept, _ = compact_mask(touched, touched_cap)
+    rows = jnp.full((touched_cap,), nb - 1, jnp.int32).at[pos].set(
+        jnp.arange(nb, dtype=jnp.int32), mode="drop")
+    valid = jnp.arange(touched_cap) < kept
+
+    tsdf_r = jnp.take(state.channels["TSDF"].astype(jnp.float32), rows,
+                      axis=0)
+    obs_r = jnp.take(state.channels["TSDF_observed"] > 0, rows, axis=0)
+    seen_t_r = jnp.take(seen_tsdf, rows, axis=0)
+    seen_o_r = jnp.take(seen_obs, rows, axis=0)
+    diff_r = jnp.any((jnp.abs(tsdf_r - seen_t_r) > eps) |
+                     (obs_r != seen_o_r), axis=1) & valid
+
+    dirty = jnp.zeros((nb,), bool).at[jnp.where(diff_r, rows, nb - 1)].set(
+        True).at[-1].set(False)
+    # overflowed touched rows (total > cap): dirty without comparison
+    dirty = (dirty | (touched & ~jnp.zeros((nb,), bool).at[rows].set(
+        valid))).at[-1].set(False)
+    tgt = jnp.where(diff_r, rows, nb - 1)
+    seen_tsdf = seen_tsdf.at[tgt].set(
+        jnp.where(diff_r[:, None], tsdf_r, seen_t_r)).at[nb - 1].set(0.0)
+    seen_obs = seen_obs.at[tgt].set(
+        jnp.where(diff_r[:, None], obs_r, seen_o_r)).at[nb - 1].set(False)
     return dirty, seen_tsdf, seen_obs
 
 
@@ -657,11 +685,21 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         def body(carry):
             esdf, _, it = carry
             eh = _assemble_sweep(esdf, nslots, V, 0.0)
-            new = esdf_sweep_pallas(
-                prows(eh, 0.0), psrc_p, nsrc_p, side_p, fixed_p, V=V,
-                v1=float(cfg.voxel_scale), eps=float(eps_py),
-                max_ray=float(max_ray),
-                interpret=jax.default_backend() != "tpu")[:block_cap + 1]
+            ehp = prows(eh, 0.0)
+
+            def call(with_scans):
+                def f(x):
+                    return esdf_sweep_pallas(
+                        x, psrc_p, nsrc_p, side_p, fixed_p, V=V,
+                        v1=float(cfg.voxel_scale), eps=float(eps_py),
+                        max_ray=float(max_ray), with_scans=with_scans,
+                        interpret=jax.default_backend() != "tpu")
+                return f
+            # scans on the FIRST sweep only, like the XLA body: one scan
+            # pass carries every seed change across its whole row; later
+            # sweeps are the cheap class-stencil kernel (~1/4 the VPU work)
+            new = jax.lax.cond(it == 0, call(True), call(False),
+                               ehp)[:block_cap + 1]
             changed = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps)
             return new, changed, it + 1
 
@@ -674,13 +712,19 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     esdf_c = _from_sweep_layout(esdf_h, V)
 
     # scatter results back to full-size arrays; blocks outside the working
-    # set (and the frozen rim) carry their previous values through
+    # set (and the frozen rim) carry their previous values through. The
+    # updated rows themselves are masked to the participating voxels, but
+    # rows outside the working set are NOT re-masked: consumers read the
+    # field through the returned observed bitmap, so values in stale or
+    # foreign-submap rows are never visible, and skipping the full-size
+    # re-zero saves two (nb, V^3) passes per call.
     tgt = jnp.where(updatable[:block_cap], slot_of, nb)
-    esdf = jnp.where(participate_full, prev_esdf, 0.0).at[tgt].set(
-        esdf_c[:block_cap], mode="drop")
-    fixed_full = jnp.where(participate_full, prev_fixed,
-                           0).astype(jnp.int8).at[tgt].set(
-        fixed[:block_cap].astype(jnp.int8), mode="drop")
+    esdf_rows = jnp.where(participate[:block_cap], esdf_c[:block_cap], 0.0)
+    esdf = prev_esdf.at[tgt].set(esdf_rows, mode="drop")
+    fixed_rows = jnp.where(participate[:block_cap], fixed[:block_cap],
+                           False).astype(jnp.int8)
+    fixed_full = prev_fixed.astype(jnp.int8).at[tgt].set(fixed_rows,
+                                                         mode="drop")
 
     # re-queue policy (the cross-frame half of the amortization scheme
     # described above): a block whose values still changed re-enters the

@@ -326,7 +326,11 @@ class TaichiSLAMNodeCore:
         mapping = self.mapping
         if self.enable_rendering:
             if self.mapping_type == "tsdf":
-                mapping.cvt_TSDF_surface_to_voxels()
+                # slice view toggle (reference taichislam_node.py:303-304)
+                if getattr(self.render, "enable_slice_z", False):
+                    mapping.cvt_TSDF_to_voxels_slice(self.render.slice_z)
+                else:
+                    mapping.cvt_TSDF_surface_to_voxels()
                 self.render.set_particles(mapping.export_TSDF_xyz,
                                           mapping.export_color,
                                           mapping.num_TSDF_particles)

@@ -63,6 +63,7 @@ class _SceneStore:
         self.blob = struct.pack("<II", _MAGIC, 0)
         self.options = {
             "particle_radius": 0.025,
+            "enable_slice_z": False,
             "slice_z": 0.0,
             "enable_mesher": True,
             "disp_particles": True,
@@ -201,6 +202,7 @@ class InteractiveRender(TaichiSLAMRender):
         # pull panel options back (reference options(), visualization.py:124)
         o = self.server.store.get_options()
         self.particle_radius = o["particle_radius"]
+        self.enable_slice_z = o["enable_slice_z"]
         self.slice_z = o["slice_z"]
         self.enable_mesher = o["enable_mesher"]
         self.disp_particles = o["disp_particles"]
@@ -233,6 +235,7 @@ _PAGE = r"""<!DOCTYPE html>
  <label><input type="checkbox" id="disp_mesh" checked> mesh</label>
  <label><input type="checkbox" id="enable_mesher" checked> mesher</label>
  <label><input type="checkbox" id="lock_pos_drone"> follow drone</label>
+ <label><input type="checkbox" id="enable_slice_z"> slice view</label>
  <label>radius <input type="range" id="particle_radius" min="0.005"
    max="0.1" step="0.005" value="0.025"><span id="rv">0.025</span></label>
  <label>slice z <input type="range" id="slice_z" min="-2" max="2"
@@ -437,7 +440,7 @@ function parse(buf){
 async function pushOptions(){
  const o={};
  for(const id of ['disp_particles','disp_mesh','enable_mesher',
-                  'lock_pos_drone'])
+                  'lock_pos_drone','enable_slice_z'])
   o[id]=document.getElementById(id).checked;
  for(const id of ['particle_radius','slice_z'])
   o[id]=parseFloat(document.getElementById(id).value);

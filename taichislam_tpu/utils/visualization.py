@@ -36,6 +36,7 @@ class TaichiSLAMRender:
         self.disp_particles = True
         self.disp_mesh = True
         self.particle_radius = 0.025
+        self.enable_slice_z = False
         self.slice_z = 0.0
 
         self.par = None

@@ -104,6 +104,23 @@ def test_rendering_stages_particles():
     assert core.render.drone_poses  # set_drone_pose ran
 
 
+def test_rendering_slice_view():
+    """enable_slice_z routes the TSDF export through the z-slice path
+    (reference taichislam_node.py:303-304): particles cluster at slice_z
+    instead of on the surface."""
+    core = make_core(extra={"~enable_submap": True, "~keyframe_step": 1,
+                            "~submap_max_disp_particles": 65536},
+                     render=TaichiSLAMRender(160, 120))
+    core.stage_depth(fake_frame(0), fake_depth_msg())
+    core.process_taichi()
+    core.mapping.set_exporting_local()   # global map is empty pre-fusion
+    core.render.enable_slice_z = True
+    core.render.slice_z = 1.0
+    core.rendering()
+    assert core.render.par is not None and len(core.render.par) > 0
+    assert np.all(np.abs(core.render.par[:, 2] - 1.0) < 0.1 + 1e-6)
+
+
 def test_traj_callback_applies_pgo_poses():
     core = make_core(extra={"~enable_submap": True, "~drone_id": 1,
                             "~keyframe_step": 1,

@@ -104,10 +104,11 @@ def main():
                     jnp.int32(0), dirty)
             else:
                 ov = jnp.int32(0)
-            drop_fuse = stats["alloc_overflow"] + stats["touched_dropped"]
+            drop_fuse = (stats["alloc_overflow"] + stats["touched_dropped"]
+                         + stats["lanes_dropped"])
             total_bins = stats["num_bins"] + stats["bins_dropped"]
             return (state, esdf, fixed, pending, seen_t, seen_o), \
-                (drop_fuse, ov, total_bins)
+                (drop_fuse, ov, total_bins, stats["live_lanes"])
 
         @jax.jit
         def run_all(state, frames, Rs, Ts):
@@ -117,12 +118,13 @@ def main():
             seen_t0 = jnp.zeros(shape, jnp.float32)
             seen_o0 = jnp.zeros(shape, bool)
             carry0 = (state, esdf0, fixed0, pend0, seen_t0, seen_o0)
-            (state, esdf, *_), (drop_fuse, ov, total_bins) = jax.lax.scan(
-                one_frame, carry0, (frames, Rs, Ts))
+            (state, esdf, *_), (drop_fuse, ov, total_bins, live) = \
+                jax.lax.scan(one_frame, carry0, (frames, Rs, Ts))
             # scalar readback closes the timing; drop stats guard honesty
             return (jnp.sum(state.channels["TSDF"].astype(jnp.float32)) +
                     jnp.sum(esdf),
-                    jnp.max(drop_fuse), jnp.max(ov), jnp.max(total_bins))
+                    jnp.max(drop_fuse), jnp.max(ov), jnp.max(total_bins),
+                    jnp.max(live))
         return run_all
 
     def size_and_time(cfg, esdf_cap=None, budget=6):
@@ -130,26 +132,35 @@ def main():
         (ms_per_frame, cfg)."""
         state = tsdf_ops.make_tsdf_state(cfg)
         run_all = make_run(cfg, esdf_cap, budget)
-        s0, dropped, esdf_ov, max_bins = run_all(state, frames_j, Rs_j,
-                                                 Ts_j)
+        s0, dropped, esdf_ov, max_bins, max_live = run_all(
+            state, frames_j, Rs_j, Ts_j)
         float(s0)
-        for _ in range(6):
+        for _ in range(7):
             want = bin_bucket_for(int(max_bins))
+            # lane cap: bucket of the worst frame's live-lane count — the
+            # post-sort slice is then lossless (guarded below); re-derived
+            # whenever other capacities change the lattice
+            want_lanes = bin_bucket_for(int(max_live))
             if int(esdf_ov) > 0:
                 need = esdf_cap + int(esdf_ov)
                 while esdf_cap < need:
                     esdf_cap *= 2
-            elif int(dropped) == 0 and want >= cfg.max_bins:
+            elif int(dropped) == 0 and want >= cfg.max_bins and \
+                    cfg.max_march_lanes == want_lanes:
                 break
             elif int(dropped) == 0 and want < cfg.max_bins:
-                cfg = dataclasses.replace(cfg, max_bins=want)
+                cfg = dataclasses.replace(cfg, max_bins=want,
+                                          max_march_lanes=want_lanes)
+            elif int(dropped) == 0:
+                cfg = dataclasses.replace(cfg, max_march_lanes=want_lanes)
             else:
                 cfg = dataclasses.replace(
                     cfg, max_bins=max(want, cfg.max_bins),
+                    max_march_lanes=want_lanes,
                     max_touched_blocks=cfg.max_touched_blocks * 2)
             run_all = make_run(cfg, esdf_cap, budget)
-            s0, dropped, esdf_ov, max_bins = run_all(state, frames_j, Rs_j,
-                                                     Ts_j)
+            s0, dropped, esdf_ov, max_bins, max_live = run_all(
+                state, frames_j, Rs_j, Ts_j)
             float(s0)
         # the guard: the timed executable must have dropped NOTHING
         assert int(dropped) == 0 and int(esdf_ov) == 0, \
@@ -158,7 +169,7 @@ def main():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            sval, drp, ov2, _ = run_all(state, frames_j, Rs_j, Ts_j)
+            sval, drp, ov2, _, _ = run_all(state, frames_j, Rs_j, Ts_j)
             float(sval)
             best = min(best, time.perf_counter() - t0)
         assert int(drp) == 0 and int(ov2) == 0
@@ -196,7 +207,7 @@ def main():
     # gating 0.25 voxels (cfg default).
     esdf_cfg = dataclasses.replace(cfg_sized, esdf_raise_slack_voxels=0.5,
                                    esdf_converge_eps=2e-3)
-    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=4)
+    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=3)
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
@@ -235,7 +246,7 @@ def main():
         "secondary": {
             "fusion_only_fps": round(fps_fuse, 2),
             "fusion_esdf_ms_per_frame": round(ms_esdf, 3),
-            "esdf_budget_sweeps": 4,
+            "esdf_budget_sweeps": 3,
             "esdf_drained_fps": round(1000.0 / ms_drained, 2),
             "marching_cubes_full_map_ms": round(mc_ms, 2),
             "fusion_fps_8192_blocks": round(fps_big, 2),

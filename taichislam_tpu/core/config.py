@@ -137,6 +137,13 @@ class TSDFConfig:
     # segmented-reduce kernel on TPU (2.7x faster than XLA scatters) and XLA
     # elsewhere; "on"/"off" force it (interpret mode off-TPU)
     pallas_accum: str = "auto"
+    # static cap on post-sort march lanes fed to the Pallas accumulation
+    # (0 = uncapped). The sort packs valid lanes first, so a cap >= the
+    # worst frame's live-lane count is lossless while the kernel skips the
+    # dead-lane tail (~30-50% of the lattice); integrate reports
+    # stats["lanes_dropped"] / stats["live_lanes"] so callers can size it
+    # with a zero-drop guard (bench.py does).
+    max_march_lanes: int = 0
     # fused ESDF sweep kernel (ops/pallas/esdf_sweep.py): "auto" uses it on
     # TPU backends, "on"/"off" force; the XLA sweep body stays as fallback
     pallas_esdf: str = "auto"

@@ -663,23 +663,22 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         # fused-kernel path (ops/pallas/esdf_sweep.py): the whole sweep
         # body — source masking, class extrema, scans, support check — runs
         # as ONE VMEM-resident pass; only the halo exchange stays out here.
-        # The kernel includes the multi-hop scans in EVERY sweep (on-chip
-        # they cost VPU cycles, not HBM passes).
+        # The kernel derives source/fixed masks on-chip from the assembled
+        # TSDF/observed halos (two channel assemblies per update replace
+        # three mask assemblies + the XLA mask math).
         from taichislam_tpu.ops.pallas.esdf_sweep import esdf_sweep_pallas
-        psrc_hh = _assemble_sweep(pos_src_h, nslots, V,
-                                  False).astype(jnp.int8)
-        nsrc_hh = _assemble_sweep(neg_src_h, nslots, V,
-                                  False).astype(jnp.int8)
-        fixed_hh = fixed_h.astype(jnp.int8)
+        tsdf_hh = _assemble_sweep(_to_sweep_layout(tsdf, V, 0.0), nslots,
+                                  V, 0.0)
+        obs_hh = _assemble_sweep(_to_sweep_layout(participate, V, False),
+                                 nslots, V, False).astype(jnp.int8)
         side_hh = pos_side_h.astype(jnp.int8) - neg_side_h.astype(jnp.int8)
         npad = (-(block_cap + 1)) % 8
 
         def prows(a, fill):
             return jnp.pad(a, ((0, npad), (0, 0), (0, 0)),
                            constant_values=fill)
-        psrc_p = prows(psrc_hh, 0)
-        nsrc_p = prows(nsrc_hh, 0)
-        fixed_p = prows(fixed_hh, 0)
+        tsdf_p = prows(tsdf_hh, 0.0)
+        obs_p = prows(obs_hh, 0)
         side_p = prows(side_hh, 0)
 
         def body(carry):
@@ -690,9 +689,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             def call(with_scans):
                 def f(x):
                     return esdf_sweep_pallas(
-                        x, psrc_p, nsrc_p, side_p, fixed_p, V=V,
-                        v1=float(cfg.voxel_scale), eps=float(eps_py),
-                        max_ray=float(max_ray), with_scans=with_scans,
+                        x, tsdf_p, obs_p, side_p, V=V,
+                        v1=float(cfg.voxel_scale), gamma=float(gamma),
+                        eps=float(eps_py), max_ray=float(max_ray),
+                        with_scans=with_scans,
                         interpret=jax.default_backend() != "tpu")
                 return f
             # scans on the FIRST sweep only, like the XLA body: one scan

@@ -267,7 +267,7 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         vals = (c.w, c.wd, occ_f)
         if glob_cfg.texture_enabled:
             vals = vals + (c.wc[0], c.wc[1], c.wc[2])
-        touched, acc, n_touched = segmented_block_reduce(
+        touched, acc, n_touched, _ = segmented_block_reduce(
             bkey, jnp.where(c.ok, c.intra, 0), vals, V3,
             glob_cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"))

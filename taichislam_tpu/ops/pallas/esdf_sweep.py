@@ -35,17 +35,24 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e9
 
 
-def _kernel(esdf_ref, psrc_ref, nsrc_ref, side_ref, fixed_ref, out_ref, *,
-            W: int, R: int, v1: float, eps: float, max_ray: float,
-            with_scans: bool):
+def _kernel(esdf_ref, tsdf_ref, obs_ref, side_ref, out_ref, *,
+            W: int, R: int, v1: float, gamma: float, eps: float,
+            max_ray: float, with_scans: bool):
     L = W * W
     h = esdf_ref[...]                       # (R, W, L) f32
     # masks convert i8 -> f32 at load and stay f32 0/1 arithmetic: i8 tiles
     # are (32, 128) vs f32 (8, 128), and comparisons across the two layouts
-    # produce i1 vectors Mosaic cannot relayout ("(0,0)" -> replicated)
-    psrc_f = psrc_ref[...].astype(jnp.float32)
-    nsrc_f = nsrc_ref[...].astype(jnp.float32)
+    # produce i1 vectors Mosaic cannot relayout ("(0,0)" -> replicated).
+    # Source/fixed masks derive on-chip from the (halo-assembled) TSDF and
+    # observed channels — deriving here replaces three XLA mask-halo
+    # assemblies per update with two channel assemblies.
+    tsdf = tsdf_ref[...]                    # (R, W, L) f32, halo-assembled
+    obs_f = obs_ref[...].astype(jnp.float32)
     side_f = side_ref[...].astype(jnp.float32)  # +1 pos side, -1 neg side
+    gammaf = jnp.float32(gamma)
+    fixed_f = jnp.where(jnp.abs(tsdf) < gammaf, obs_f, 0.0)
+    psrc_f = jnp.where(tsdf >= gammaf, obs_f, fixed_f)
+    nsrc_f = jnp.where(tsdf <= -gammaf, obs_f, fixed_f)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, L), 2)
     sub = jax.lax.broadcasted_iota(jnp.int32, (R, W, L), 1)
@@ -102,7 +109,6 @@ def _kernel(esdf_ref, psrc_ref, nsrc_ref, side_ref, fixed_ref, out_ref, *,
     cand_hi = jnp.maximum(jnp.maximum(fh - v1f, eh - v2f), ch - v3f)
 
     if with_scans:
-        fixed_f = fixed_ref[...].astype(jnp.float32)
         n_steps = max(1, int(np.ceil(np.log2(W))))
 
         def dbl(w, brk, shift_fn, fill):
@@ -165,18 +171,20 @@ def _kernel(esdf_ref, psrc_ref, nsrc_ref, side_ref, fixed_ref, out_ref, *,
     out_ref[...] = new
 
 
-@functools.partial(jax.jit, static_argnames=("V", "v1", "eps", "max_ray",
-                                             "with_scans", "interpret"))
-def esdf_sweep_pallas(esdf_h, psrc_h, nsrc_h, side_h, fixed_h, *, V: int,
-                      v1: float, eps: float, max_ray: float,
+@functools.partial(jax.jit, static_argnames=("V", "v1", "gamma", "eps",
+                                             "max_ray", "with_scans",
+                                             "interpret"))
+def esdf_sweep_pallas(esdf_h, tsdf_h, obs_h, side_h, *, V: int,
+                      v1: float, gamma: float, eps: float, max_ray: float,
                       with_scans: bool = True, interpret: bool = False):
     """One fused relaxation sweep over the (N, W, W²) sweep-layout field.
 
-    ``esdf_h`` must have halos already assembled; ``psrc_h``/``nsrc_h``/
-    ``fixed_h`` are i8 source/fixed masks WITH assembled halos; ``side_h``
-    is the interior-only update-side mask (+1/-1/0, i8). N must be a
-    multiple of 8 (pad with zero rows). Returns the updated field (interior
-    updated, halo lanes passed through)."""
+    ``esdf_h`` and ``tsdf_h`` must have halos already assembled; ``obs_h``
+    is the i8 participation mask WITH assembled halos (source and fixed
+    masks derive on-chip from tsdf/obs); ``side_h`` is the interior-only
+    update-side mask (+1/-1/0, i8). N must be a multiple of 8 (pad with
+    zero rows). Returns the updated field (interior updated, halo lanes
+    passed through)."""
     W = V + 2
     N = esdf_h.shape[0]
     R = 8
@@ -184,13 +192,13 @@ def esdf_sweep_pallas(esdf_h, psrc_h, nsrc_h, side_h, fixed_h, *, V: int,
     grid = (N // R,)
     bspec = lambda: pl.BlockSpec((R, W, W * W), lambda n: (n, 0, 0))
     kern = functools.partial(_kernel, W=W, R=R, v1=float(v1),
-                             eps=float(eps), max_ray=float(max_ray),
-                             with_scans=with_scans)
+                             gamma=float(gamma), eps=float(eps),
+                             max_ray=float(max_ray), with_scans=with_scans)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec(), bspec(), bspec(), bspec(), bspec()],
+        in_specs=[bspec(), bspec(), bspec(), bspec()],
         out_specs=bspec(),
         out_shape=jax.ShapeDtypeStruct(esdf_h.shape, jnp.float32),
         interpret=interpret,
-    )(esdf_h, psrc_h, nsrc_h, side_h, fixed_h)
+    )(esdf_h, tsdf_h, obs_h, side_h)

@@ -141,7 +141,8 @@ def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
 
 
 def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
-                           rows: int = 16, interpret: bool = False):
+                           rows: int = 16, interpret: bool = False,
+                           lane_cap: int | None = None):
     """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:
@@ -149,9 +150,16 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
             invalid lanes).
         intra: (N,) int32 intra-block voxel index in [0, V3).
         vals: tuple of (N,) f32 lane values.
+        lane_cap: optional static cap on post-sort lanes fed to the kernel.
+            The sort moves all VALID lanes to the front, so slicing at
+            ``lane_cap >= n_valid`` is lossless while the kernel skips the
+            dead-lane tail (~30-50% of a march lattice). Dropped VALID
+            lanes (cap too small) are counted in the returned
+            ``lanes_dropped`` so callers can grow the cap / assert zero.
     Returns (touched (max_touched,) int32 block keys (-1 padded),
              acc (max_touched, n_vals, V3) f32, n_touched — may exceed
-             max_touched on overflow; overflowed tiles are dropped).
+             max_touched on overflow; overflowed tiles are dropped,
+             lanes_dropped).
     """
     assert V3 % 128 == 0, V3
     n_vals = len(vals)
@@ -163,6 +171,14 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
         vals = tuple(jnp.pad(v, (0, pad)) for v in vals)
     N = bkey.shape[0]
     srt = jax.lax.sort((bkey, intra) + tuple(vals), num_keys=1)
+    lanes_dropped = jnp.int32(0)
+    if lane_cap is not None and lane_cap < N:
+        lane_cap = max((lane_cap + chunk - 1) // chunk * chunk, chunk)
+        if lane_cap < N:
+            n_valid = jnp.sum((bkey < SENTINEL_BLOCK).astype(jnp.int32))
+            lanes_dropped = jnp.maximum(n_valid - lane_cap, 0)
+            srt = tuple(a[:lane_cap] for a in srt)
+            N = lane_cap
     ops = [a.reshape(-1, rows, 128) for a in srt]
 
     grid = (N // chunk,)
@@ -197,7 +213,8 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
     touched_keys = jnp.where(
         jnp.arange(max_touched) < jnp.minimum(count[0], max_touched),
         touched, -1)
-    return touched_keys, acc.reshape(max_touched, n_vals, V3), count[0]
+    return (touched_keys, acc.reshape(max_touched, n_vals, V3), count[0],
+            lanes_dropped)
 
 
 def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
@@ -209,4 +226,5 @@ def segmented_block_accumulate(keys, w, wd, V3: int, max_touched: int,
     bkey = jnp.where(invalid, SENTINEL_BLOCK, bk)
     intra = jnp.where(invalid, 0, keys - bk * V3)
     return segmented_block_reduce(bkey, intra, (w, wd), V3, max_touched,
-                                  rows=chunk // 128, interpret=interpret)
+                                  rows=chunk // 128,
+                                  interpret=interpret)[:3]

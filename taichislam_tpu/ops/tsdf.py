@@ -346,6 +346,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
     nvox = (spec.max_blocks + 1) * spec.voxels_per_block
     ch = dict(state.channels)
     touched_dropped = jnp.int32(0)
+    lanes_dropped = jnp.int32(0)
+    live_lanes = jnp.int32(0)
 
     if cfg.texture_enabled:
         c = jnp.maximum(bins.count, 1.0)
@@ -375,9 +377,11 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
             # is whichever atomic lands last — nondeterministic; the
             # weighted mean is deterministic and at least as faithful.
             vals = vals + tuple(wf_raw * rgb_m[a] for a in range(3))
-        touched_rel, acc, n_touched = segmented_block_reduce(
+        touched_rel, acc, n_touched, lanes_dropped = segmented_block_reduce(
             bkey, intra_k, vals, V3, cfg.max_touched_blocks,
-            interpret=(jax.default_backend() != "tpu"))
+            interpret=(jax.default_backend() != "tpu"),
+            lane_cap=(cfg.max_march_lanes or None))
+        live_lanes = jnp.sum(lane_ok.astype(jnp.int32))
         touched_dropped = jnp.maximum(n_touched - cfg.max_touched_blocks, 0)
 
         row_ok = touched_rel >= 0
@@ -478,6 +482,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
              "num_bins": jnp.sum(bins.valid.astype(jnp.int32)),
              "alloc_overflow": state.alloc_overflow,
              "touched_dropped": touched_dropped,
+             "lanes_dropped": lanes_dropped,
+             "live_lanes": live_lanes,
              # per-slot bitmap of blocks whose TSDF changed this frame —
              # feeds the incremental ESDF's dirty-block working set
              "touched_blocks": touched_blocks}

@@ -72,7 +72,7 @@ def main():
 
     for rows in (8, 16, 32, 64):
         def fn(bkey, intra):
-            _, acc, _ = segmented_block_reduce(
+            _, acc, _, _ = segmented_block_reduce(
                 bkey, intra, (wf, wdf), spec.voxels_per_block,
                 cfg.max_touched_blocks, rows=rows)
             return acc[:, 0, :]

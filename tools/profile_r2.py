@@ -133,7 +133,7 @@ def main():
             jnp.ones((n_lanes,), jnp.float32))
 
     def reduce_only(bkey, intra):
-        _, acc, _ = segmented_block_reduce(
+        _, acc, _, _ = segmented_block_reduce(
             bkey, intra, vals, spec.voxels_per_block,
             cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"))

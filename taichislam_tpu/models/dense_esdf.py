@@ -23,7 +23,8 @@ class DenseESDF(DenseTSDF):
     def __init__(self, *args, enable_esdf=True, max_esdf_sweeps=64,
                  esdf_block_cap=None, esdf_incremental=True,
                  esdf_raise_slack_voxels=None, esdf_seed_eps_voxels=None,
-                 esdf_dense_max_voxels=2 * 1024 * 1024, **kwargs):
+                 esdf_dense_max_voxels=2 * 1024 * 1024,
+                 esdf_check_interval=1, **kwargs):
         super().__init__(*args, **kwargs)
         self.esdf_dense_max_voxels = esdf_dense_max_voxels
         import dataclasses
@@ -41,6 +42,19 @@ class DenseESDF(DenseTSDF):
         # the working-set edge continue propagating from here next frame
         self._esdf_pending = None
         self._esdf_cap_bucket = 64
+        # host-sync discipline: capacity verdicts / window refreshes every
+        # N frames (1 = per frame, the exact interactive semantics; >1 for
+        # high-latency links like the axon relay — overflows are detected
+        # up to N frames late and recovered by re-queueing the dirty union)
+        self.esdf_check_interval = max(1, int(esdf_check_interval))
+        self._esdf_frame = 0
+        self._esdf_host_ready = False
+        self._esdf_dims_cached = None
+        self._esdf_nblocks_cached = 1
+        self._esdf_last_mode = "block"
+        self._esdf_last_cap = (64, 64)
+        self._esdf_pack = None
+        self._esdf_dirty_union = None
         spec = self.cfg.grid
         shape = (spec.max_blocks + 1, spec.voxels_per_block)
         # updated-voxel gating snapshots (ops/esdf.py esdf_seed_dirty)
@@ -66,17 +80,33 @@ class DenseESDF(DenseTSDF):
         if self.enable_esdf:
             self.update_esdf()
 
-    def _dense_window_dims(self):
+    def _window_info_dev(self):
+        """Device-side (8,) int32: active-submap block-coord mins, maxs,
+        any-active flag, allocated block count — ONE host fetch covers
+        everything the host-side mode/capacity decisions need (fetching
+        block_coords + block_active separately cost 2 relay round-trips
+        per frame)."""
+        c4 = self.state.block_coords
+        act = self.state.block_active & \
+            (c4[:, 0] == jnp.int32(self.active_submap_id))
+        act = act.at[-1].set(False)
+        huge = jnp.int32(1 << 20)
+        mins = jnp.min(jnp.where(act[:, None], c4[:, 1:4], huge), axis=0)
+        maxs = jnp.max(jnp.where(act[:, None], c4[:, 1:4], -huge), axis=0)
+        return jnp.concatenate([
+            mins, maxs,
+            jnp.any(act).astype(jnp.int32)[None],
+            jnp.asarray(self.state.num_blocks, jnp.int32).reshape(1)])
+
+    def _dense_window_dims(self, info=None):
         """Bucketed (DBX, DBY, DBZ) block dims of the active submap's
         bounding box, or None when the window exceeds the dense-mode
         budget (ops/esdf.py dense-window rationale)."""
-        c4 = np.asarray(self.state.block_coords)
-        act = np.asarray(self.state.block_active) & \
-            (c4[:, 0] == self.active_submap_id)
-        act[-1] = False
-        if not act.any():
+        if info is None:
+            info = np.asarray(self._window_info_dev())
+        if int(info[6]) == 0:
             return None
-        spans = c4[act, 1:4].max(axis=0) - c4[act, 1:4].min(axis=0) + 1
+        spans = info[3:6] - info[0:3] + 1
 
         def bucket(n):
             b = 1
@@ -89,7 +119,16 @@ class DenseESDF(DenseTSDF):
             return None
         return dims
 
+    def _esdf_host_refresh(self):
+        """Refresh the cached host-side mode/capacity info (1 round-trip)."""
+        info = np.asarray(self._window_info_dev())
+        self._esdf_dims_cached = self._dense_window_dims(info)
+        self._esdf_nblocks_cached = int(info[7]) + 1
+        self._esdf_host_ready = True
+
     def update_esdf(self):
+        interactive = self.esdf_check_interval <= 1
+
         # updated-voxel gating (ops/esdf.py esdf_seed_dirty): of the frame's
         # touched blocks only those whose TSDF seeds moved materially since
         # the ESDF last consumed them re-enter the working set; a frame with
@@ -104,63 +143,113 @@ class DenseESDF(DenseTSDF):
                         self._esdf_seen_obs, touched)
                 if self._esdf_pending is not None:
                     dirty = dirty | self._esdf_pending
-                self.last_esdf_dirty = int(jnp.sum(dirty))
-                if self.last_esdf_dirty == 0:
-                    self.last_esdf_sweeps = 0
-                    return
-
-        # dense-window mode: when the observed bounding box fits a modest
-        # dense grid, sweep it directly — full-length axis scans converge
-        # exploration wedges in a few sweeps and there is no halo assembly
-        dims = self._dense_window_dims()
-        if dims is not None:
-            (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
-             changed, overflow) = esdf_ops.esdf_update_dense(
-                self.cfg, self.max_esdf_sweeps, dims, self.state,
-                self.esdf, self.esdf_fixed,
-                jnp.int32(self.active_submap_id))
-            assert int(overflow) == 0, "dense window undersized"
-            self._esdf_pending = changed
-            self.last_esdf_sweeps = int(sweeps)
-            return
-
-        # block-sweep mode (HBM-scale maps): sweep cost scales with the
-        # compacted working set; bucket the cap to the allocated block count
-        nblocks = int(self.state.num_blocks) + 1
-        full_cap = 128
-        while full_cap < nblocks:
-            full_cap *= 2
-        full_cap = min(full_cap, self.esdf_block_cap)
+                if interactive:
+                    # skip-on-clean needs a host decision; in deferred mode
+                    # the update always runs (a clean set converges in one
+                    # cheap sweep) to keep the hot loop sync-free
+                    self.last_esdf_dirty = int(jnp.sum(dirty))
+                    if self.last_esdf_dirty == 0:
+                        self.last_esdf_sweeps = 0
+                        return
 
         # incremental mode without gating (esdf_seed_eps_voxels < 0):
-        # restrict sweeps to frame-touched blocks plus last update's
-        # still-propagating wavefront; anything else keeps its warm value.
-        # Falls back to a full update when the last map change didn't
-        # report a touched bitmap (e.g. submap fusion).
+        # frame-touched blocks plus last update's still-propagating
+        # wavefront; full update when no touched bitmap (submap fusion).
         if dirty is None and self.esdf_incremental:
             touched = self.last_stats.get("touched_blocks")
             if touched is not None:
                 dirty = touched
                 if self._esdf_pending is not None:
                     dirty = dirty | self._esdf_pending
-        cap = self._esdf_cap_bucket if dirty is not None else full_cap
-        while True:
-            cap = min(cap, full_cap)
+
+        # host-side mode/capacity info: refreshed every check interval (the
+        # window only changes as the map grows; a stale window overflows,
+        # which the deferred verdict catches and re-queues)
+        if not self._esdf_host_ready or \
+                self._esdf_frame % self.esdf_check_interval == 0:
+            self._esdf_host_refresh()
+        dims = self._esdf_dims_cached
+
+        if dims is not None:
+            # dense-window mode: the observed bounding box fits a modest
+            # dense grid — sweep it directly (full-length axis scans, no
+            # halo assembly)
+            self._esdf_last_mode = "dense"
+            (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
+             changed, overflow) = esdf_ops.esdf_update_dense(
+                self.cfg, self.max_esdf_sweeps, dims, self.state,
+                self.esdf, self.esdf_fixed,
+                jnp.int32(self.active_submap_id))
+        else:
+            # block-sweep mode (HBM-scale maps): sweep cost scales with the
+            # compacted working set; cap bucketed to the allocated count
+            full_cap = 128
+            while full_cap < self._esdf_nblocks_cached:
+                full_cap *= 2
+            full_cap = min(full_cap, self.esdf_block_cap)
+            cap = min(self._esdf_cap_bucket if dirty is not None
+                      else full_cap, full_cap)
+            self._esdf_last_mode = "block"
+            self._esdf_last_cap = (cap, full_cap)
             (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
              changed, overflow) = esdf_ops.esdf_update(
                 self.cfg, self.max_esdf_sweeps, cap, self.state,
                 self.esdf, self.esdf_fixed,
                 jnp.int32(self.active_submap_id), dirty)
-            if int(overflow) > 0 and cap < full_cap:
-                need = cap + int(overflow)
-                while cap < need:
-                    cap *= 2
-                continue
-            break
-        if dirty is not None:
-            self._esdf_cap_bucket = cap
         self._esdf_pending = changed
-        self.last_esdf_sweeps = int(sweeps)
+        self._esdf_pack = jnp.stack([
+            jnp.asarray(sweeps, jnp.int32),
+            jnp.asarray(overflow, jnp.int32),
+            (jnp.sum(dirty.astype(jnp.int32)) if dirty is not None
+             else jnp.int32(-1))])
+        # device-side union of dirty sets since the last verdict: on a
+        # late-detected overflow the dropped blocks' dirtiness re-queues
+        # from here (bounded staleness <= check interval frames)
+        if dirty is not None:
+            self._esdf_dirty_union = dirty if self._esdf_dirty_union is None \
+                else (self._esdf_dirty_union | dirty)
+        self._esdf_frame += 1
+        if interactive or self._esdf_frame % self.esdf_check_interval == 0:
+            self._esdf_verdict(dirty)
+
+    def _esdf_verdict(self, dirty):
+        """Fetch the packed per-update stats (ONE round-trip) and act on
+        capacity overflow: grow the cap bucket / refresh the dense window,
+        re-queue the dirty union, and redo immediately in interactive
+        mode (when the capacity actually grew — same semantics as the old
+        inline grow-and-redo loop)."""
+        sweeps, overflow, ndirty = (int(x) for x in
+                                    np.asarray(self._esdf_pack))
+        self.last_esdf_sweeps = sweeps
+        if ndirty >= 0:
+            self.last_esdf_dirty = ndirty
+        if overflow > 0:
+            grew = False
+            if self._esdf_last_mode == "dense":
+                # dense window undersized (stale bbox): refresh from the
+                # current bbox; a fresh window that still overflows falls
+                # back to block mode on the next call
+                old = self._esdf_dims_cached
+                self._esdf_host_refresh()
+                grew = self._esdf_dims_cached != old
+            else:
+                cap, full_cap = self._esdf_last_cap
+                need = cap + overflow
+                grown = cap
+                while grown < need:
+                    grown *= 2
+                grown = min(grown, full_cap)
+                grew = grown > cap
+                self._esdf_cap_bucket = grown
+            if self._esdf_dirty_union is not None:
+                self._esdf_pending = self._esdf_pending | \
+                    self._esdf_dirty_union
+            if self.esdf_check_interval <= 1 and grew:
+                # interactive mode keeps the old exact semantics: redo now
+                self._esdf_dirty_union = None
+                self.update_esdf()
+                return
+        self._esdf_dirty_union = None
 
     # -- exports -------------------------------------------------------------
     def cvt_ESDF_to_voxels_slice(self, z, dz=0.5):

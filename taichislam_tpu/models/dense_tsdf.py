@@ -103,7 +103,17 @@ class DenseTSDF(BaseMap):
         return dataclasses.replace(self.cfg, max_bins=self._bin_bucket)
 
     def _update_bin_bucket(self, stats):
-        n = int(stats["num_bins"]) + int(stats["bins_dropped"])
+        """Adapt the bin bucket to the observed load. ONE packed host fetch
+        (separate int() reads cost a relay round-trip each), every
+        ``capacity_check_interval`` frames (attribute, default 1; raise it
+        on high-latency links — an under-bucketed frame records
+        bins_dropped and is corrected at the next check)."""
+        self._cap_frame = getattr(self, "_cap_frame", -1) + 1
+        if self._cap_frame % getattr(self, "capacity_check_interval", 1):
+            return
+        pack = np.asarray(jnp.stack([stats["num_bins"],
+                                     stats["bins_dropped"]]))
+        n = int(pack[0]) + int(pack[1])
         self._bin_bucket = min(bin_bucket_for(n), self.cfg.max_bins)
 
     def recast_depth_to_map(self, R, T, depthmap, texture):

@@ -233,8 +233,12 @@ def bin_points(cfg: TSDFConfig, pts_map, z, color, valid) -> Bins:
 
 def _march_lattice_c(cfg: TSDFConfig, bins: Bins, T):
     """Sample points / voxel coords / weights for every (bin, step) pair,
-    in component-array form (every intermediate is (B, S) or (B,): stacked
-    (B, S, 3) arrays pad the minor dim 3 -> 128 lanes on TPU).
+    in component-array form, STEP-MAJOR: every lattice intermediate is
+    (S, B) — the minor dim is the (lane-sized, 128-aligned) bin bucket, so
+    nothing pads; the bin-major (B, S=60) layout padded 60 -> 128 lanes
+    (2.1x HBM traffic on ~20 intermediates). Downstream consumers only see
+    flat reshapes feeding an order-independent sort, so the transposed
+    order is free.
 
     Vectorizes ``process_new_pcl`` (dense_tsdf.py:236-270): step j covers
     distance (j+1)·voxel along the mean-bin direction; the number of live
@@ -256,18 +260,18 @@ def _march_lattice_c(cfg: TSDFConfig, bins: Bins, T):
         cfg.max_ray_length / cfg.voxel_scale)).astype(jnp.int32)
 
     step_dist = (jnp.arange(S, dtype=jnp.float32) + 1.0) * cfg.voxel_scale
-    x0 = d0[:, None] * step_dist[None, :] + T[0]   # (B, S)
-    x1 = d1[:, None] * step_dist[None, :] + T[1]
-    x2 = d2[:, None] * step_dist[None, :] + T[2]
-    live = (jnp.arange(S)[None, :] < n_steps[:, None]) & bins.valid[:, None]
+    x0 = d0[None, :] * step_dist[:, None] + T[0]   # (S, B)
+    x1 = d1[None, :] * step_dist[:, None] + T[1]
+    x2 = d2[None, :] * step_dist[:, None] + T[2]
+    live = (jnp.arange(S)[:, None] < n_steps[None, :]) & bins.valid[None, :]
 
-    v0 = e0[:, None] - x0
-    v1 = e1[:, None] - x1
-    v2 = e2[:, None] - x2
+    v0 = e0[None, :] - x0
+    v1 = e1[None, :] - x1
+    v2 = e2[None, :] - x2
     d_x_p = jnp.sqrt(v0 * v0 + v1 * v1 + v2 * v2)
-    dot = v0 * p0[:, None] + v1 * p1[:, None] + v2 * p2[:, None]
+    dot = v0 * p0[None, :] + v1 * p1[None, :] + v2 * p2[None, :]
     d_signed = d_x_p * geometry.sign(dot)
-    w = w_x_p(cfg, d_x_p, z[:, None])  # unsigned distance — reference quirk
+    w = w_x_p(cfg, d_x_p, z[None, :])  # unsigned distance — reference quirk
     w = jnp.where(live, w, 0.0)
     return ((x0, x1, x2), live, d_signed, w, (e0, e1, e2), z)
 
@@ -353,8 +357,9 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
         c = jnp.maximum(bins.count, 1.0)
         bin_rgb = bins.sum_color / c[:, None] / 255.0  # dense_tsdf.py:268-269
         # per-lane bin color, componentwise (a (N, 3) stack pads 3 -> 128)
+        # lattice is step-major (S, B): per-bin color broadcasts over steps
         rgb_m = [jnp.where(mask_m, jnp.broadcast_to(
-            bin_rgb[:, a:a + 1], live.shape).reshape(-1), 0.0)
+            bin_rgb[None, :, a], live.shape).reshape(-1), 0.0)
             for a in range(3)]
 
     if _use_pallas_accum(cfg):

@@ -184,8 +184,9 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
             colf = ch["color"].reshape(-1)   # (shard_rows * 3 * V3,)
             loc_slot = slots - lo_slot
             for a in range(3):
+                # lattice is step-major (S, B): broadcast over steps
                 rgb_a = jnp.where(mine, jnp.broadcast_to(
-                    bin_rgb[:, a:a + 1], live.shape).reshape(-1), 0.0)
+                    bin_rgb[None, :, a], live.shape).reshape(-1), 0.0)
                 idx = (loc_slot * 3 + a) * V3 + intra_f
                 idx = jnp.where(mine, idx, colf.shape[0])
                 colf = colf.at[idx].set(rgb_a.astype(cfg.dtype), mode="drop")

@@ -377,3 +377,27 @@ def test_pallas_sweep_matches_xla():
     err = np.abs(np.where(p, np.asarray(ex) - np.asarray(ep), 0.0)).max()
     assert err < 2e-4, f"pallas vs xla fixed point max err {err}"
     np.testing.assert_array_equal(np.asarray(fx), np.asarray(fp))
+
+
+def test_esdf_deferred_check_interval():
+    """esdf_check_interval > 1 (sync-free hot loop for high-latency hosts)
+    must reach the same drained field as the per-frame interactive mode."""
+    ms = []
+    for interval in (1, 4):
+        m = _make_wall_map(slack=0.0)
+        m.esdf_check_interval = interval
+        # small cap forces overflow -> exercises the deferred grow+requeue
+        m._esdf_cap_bucket = 8
+        R = np.eye(3, dtype=np.float32)
+        depth = np.full((48, 64), 1000, np.uint16)
+        m.recast_depth_to_map(R, np.zeros(3, np.float32), depth, None)
+        depth2 = np.full((48, 64), 1400, np.uint16)
+        for _ in range(6):
+            m.recast_depth_to_map(R, np.zeros(3, np.float32), depth2, None)
+        _drain_esdf(m)
+        ms.append(m)
+    a = ms[0].get_esdf_dict()
+    b = ms[1].get_esdf_dict()
+    assert set(a) == set(b)
+    err = max(abs(a[k] - b[k]) for k in a)
+    assert err < 5e-3, f"deferred vs interactive max err {err}"

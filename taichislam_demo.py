@@ -30,7 +30,7 @@ def main():
                     help="num voxels per block per axis")
     ap.add_argument("--texture-enabled", action="store_true")
     ap.add_argument("--viewer", action="store_true",
-                    help="serve the interactive three.js viewer "
+                    help="serve the interactive WebGL viewer "
                          "(orbit/pan/zoom + options panel) on --viewer-port")
     ap.add_argument("--viewer-port", type=int, default=8765)
     ap.add_argument("--record", action="store_true",

@@ -251,6 +251,8 @@ def main():
             "marching_cubes_full_map_ms": round(mc_ms, 2),
             "fusion_fps_8192_blocks": round(fps_big, 2),
             "n_frames": n_frames,
+            "sized_bins": cfg_sized.max_bins,
+            "sized_march_lanes": cfg_sized.max_march_lanes,
         },
     }))
 

@@ -197,11 +197,21 @@ class DenseESDF(DenseTSDF):
                 self.esdf, self.esdf_fixed,
                 jnp.int32(self.active_submap_id), dirty)
         self._esdf_pending = changed
-        self._esdf_pack = jnp.stack([
+        pack = jnp.stack([
             jnp.asarray(sweeps, jnp.int32),
             jnp.asarray(overflow, jnp.int32),
             (jnp.sum(dirty.astype(jnp.int32)) if dirty is not None
              else jnp.int32(-1))])
+        if self._esdf_pack is None:
+            self._esdf_pack = pack
+        else:
+            # accumulate across the check interval (device-side): overflow
+            # is a running max so a TRANSIENT mid-interval overflow still
+            # reaches the verdict — with only the boundary frame's stats, a
+            # mid-interval drop whose blocks stop changing afterwards would
+            # never re-queue and leave permanently stale ESDF
+            self._esdf_pack = jnp.stack([
+                pack[0], jnp.maximum(self._esdf_pack[1], pack[1]), pack[2]])
         # device-side union of dirty sets since the last verdict: on a
         # late-detected overflow the dropped blocks' dirtiness re-queues
         # from here (bounded staleness <= check interval frames)
@@ -220,6 +230,7 @@ class DenseESDF(DenseTSDF):
         inline grow-and-redo loop)."""
         sweeps, overflow, ndirty = (int(x) for x in
                                     np.asarray(self._esdf_pack))
+        self._esdf_pack = None
         self.last_esdf_sweeps = sweeps
         if ndirty >= 0:
             self.last_esdf_dirty = ndirty

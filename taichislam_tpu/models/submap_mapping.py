@@ -356,11 +356,21 @@ class SubmapMapping:
         compressed = zlib.compress(raw, 1)
         self.traj_send_handle(compressed)
 
+    # Decompression bomb guard: a small hostile datagram may zlib-expand
+    # without bound; cap the plaintext at a generous multiple of any real
+    # submap (full-capacity f32 channels are ~tens of MB).
+    MAX_WIRE_PLAINTEXT = 256 * 1024 * 1024
+
     def _decode_wire(self, buf, npz_decoder, what):
         """Auto-detect the inbound format; pickle-npy is only deserialized
         when wire_format="pickle" was explicitly chosen (trust boundary —
         see module docstring)."""
-        raw = zlib.decompress(buf)
+        d = zlib.decompressobj()
+        raw = d.decompress(buf, self.MAX_WIRE_PLAINTEXT)
+        if d.unconsumed_tail:
+            raise ValueError(
+                f"{what} payload exceeds {self.MAX_WIRE_PLAINTEXT} B "
+                "decompressed (bomb guard)")
         if raw[:2] == b"PK":                      # npz zip magic: safe path
             return npz_decoder(raw)
         if raw[:6] == b"\x93NUMPY":

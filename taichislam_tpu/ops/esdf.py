@@ -416,8 +416,10 @@ def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
     The compare runs on the compacted touched rows (row gathers are
     DMA-class) rather than the full channel arrays — ~0.05 ms instead of a
     ~0.3 ms full-array pass at 2048 blocks. ``touched_cap`` rows above the
-    cap degrade safely: they are treated as dirty UNCOMPARED (snapshots
-    refreshed), never silently skipped.
+    cap degrade safely: they are treated as dirty UNCOMPARED and their
+    snapshots stay STALE, so they keep re-triggering on every later touch
+    until a compared pass refreshes them — conservative, never silently
+    skipped.
 
     Returns (dirty_bitmap, seen_tsdf', seen_obs').
     """

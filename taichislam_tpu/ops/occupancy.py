@@ -87,9 +87,13 @@ def integrate_depth(cfg: OctomapConfig, state: GridState, depth_mm, texture,
     """recast_depth_to_map (taichi_octomap.py:130-169): strided unprojection
     with mm gating, then endpoint count increment."""
     h, w = depth_mm.shape
-    jj, ii = geometry.pixel_grid(h, w, cfg.recast_step)
+    step = cfg.recast_step
+    jj, ii = geometry.pixel_grid(h, w, step)
     jj, ii = jj.reshape(-1), ii.reshape(-1)
-    d_mm = depth_mm[jj, ii].astype(jnp.float32)
+    # strided slicing instead of a gather (per-element gathers cost
+    # ~7 ns/element on TPU; same treatment as ops/tsdf.py depth_to_points)
+    d_mm = depth_mm[:(h // step) * step:step,
+                    :(w // step) * step:step].reshape(-1).astype(jnp.float32)
     valid = (d_mm != 0) & (d_mm <= cfg.max_ray_length * 1000.0) & (
         d_mm >= cfg.min_ray_length * 1000.0)
     dep = d_mm / 1000.0
@@ -98,7 +102,9 @@ def integrate_depth(cfg: OctomapConfig, state: GridState, depth_mm, texture,
     colors = None
     if cfg.texture_enabled:
         if cfg.color_same_proj:
-            colors = texture[jj, ii, :].astype(jnp.float32)
+            colors = texture[:(h // step) * step:step,
+                             :(w // step) * step:step, :].reshape(
+                -1, 3).astype(jnp.float32)
         else:
             th, tw = texture.shape[0], texture.shape[1]
             cj, ci = geometry.color_ind_from_depth_pt(

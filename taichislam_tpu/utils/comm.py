@@ -269,10 +269,16 @@ class SLAMComm:
                     self.handle_submap(channel, data)
                 elif channel == CHANNEL_TRAJ:
                     self.handle_traj(channel, data)
-            except (ValueError, struct.error) as e:
-                # hostile/corrupt Buffer payloads on the open multicast
-                # group are dropped, never crash the node main loop
-                print(f"[SLAMComm] dropped malformed msg on {channel}: {e}")
+            except Exception as e:
+                # hostile/corrupt payloads on the open multicast group are
+                # dropped, never crash the node main loop. The decode path
+                # raises more than (ValueError, struct.error): zlib.error on
+                # corrupt streams, zipfile.BadZipFile on malformed npz,
+                # KeyError on an npz missing expected keys — catch them all
+                # at this boundary (the callbacks are the last line before
+                # untrusted bytes reach the node loop).
+                print(f"[SLAMComm] dropped malformed msg on {channel}: "
+                      f"{type(e).__name__}: {e}")
 
     def close(self):
         self.transport.close()

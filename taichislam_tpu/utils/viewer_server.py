@@ -104,7 +104,9 @@ class ViewerServer:
                 self.send_response(code)
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
-                self.send_header("Access-Control-Allow-Origin", "*")
+                # no CORS header: the page is served same-origin; a
+                # wildcard would let any web page in the operator's
+                # browser read live map geometry from localhost
                 self.end_headers()
                 self.wfile.write(body)
 

@@ -80,6 +80,61 @@ class DenseESDF(DenseTSDF):
         if self.enable_esdf:
             self.update_esdf()
 
+    def recast_depth_sequence(self, Rs, Ts, depthmaps, textures=None):
+        """Multi-frame ingest with per-frame incremental ESDF chained in
+        the same dispatch (ops/sequence.py integrate_esdf_sequence) —
+        semantically the per-frame ``recast + update_esdf`` loop in its
+        block-incremental gated mode, with ONE capacity verdict per
+        window. Falls back to the TSDF-only sequence when the ESDF is
+        disabled or not in gated-incremental mode."""
+        if not (self.enable_esdf and self.esdf_incremental and
+                self.cfg.esdf_seed_eps_voxels >= 0):
+            super().recast_depth_sequence(Rs, Ts, depthmaps, textures)
+            if self.enable_esdf:
+                self.update_esdf()
+            return
+        from taichislam_tpu.ops import sequence as seq_ops
+        depths, tex, R_j, T_j, K, Kc = self._sequence_inputs(
+            Rs, Ts, depthmaps, textures)
+        budget = min(self.max_esdf_sweeps, 6)
+        nbset = (self._esdf_pending if self._esdf_pending is not None
+                 else jnp.zeros((self.cfg.grid.max_blocks + 1,), bool))
+        snap = (self.state, self.esdf, self.esdf_fixed, nbset,
+                self._esdf_seen_tsdf, self._esdf_seen_obs)
+        if not self._esdf_host_ready:
+            self._esdf_host_refresh()
+        for _ in range(8):
+            cap = self._esdf_cap_bucket
+            (state, esdf, fixed, pending, seen_t, seen_o,
+             stats) = seq_ops.integrate_esdf_sequence(
+                self._sequence_cfg(), budget, cap, *snap, depths, tex,
+                R_j, T_j, K, Kc, jnp.int32(self.active_submap_id))
+            redo = self._sequence_verdict(stats)
+            ov = int(stats["max_esdf_overflow"])
+            if ov > 0:
+                grown = cap
+                while grown < cap + ov:
+                    grown *= 2
+                grown = min(grown, self.esdf_block_cap)
+                if grown > cap:
+                    self._esdf_cap_bucket = grown
+                    redo = True
+                else:
+                    print("[DenseESDF] sequence ESDF working set over "
+                          f"esdf_block_cap by {ov}")
+            if not redo:
+                break
+        self.state = state
+        self.esdf, self.esdf_fixed = esdf, fixed
+        blk = state.block_active & (state.block_coords[:, 0] ==
+                                    jnp.int32(self.active_submap_id))
+        self.esdf_observed = ((state.channels["TSDF_observed"] > 0) &
+                              blk.at[-1].set(False)[:, None])
+        self._esdf_pending = pending
+        self._esdf_seen_tsdf, self._esdf_seen_obs = seen_t, seen_o
+        self.last_stats = stats
+        self._esdf_frame += len(depthmaps)
+
     def _window_info_dev(self):
         """Device-side (8,) int32: active-submap block-coord mins, maxs,
         any-active flag, allocated block count — ONE host fetch covers

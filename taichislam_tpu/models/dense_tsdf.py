@@ -143,9 +143,88 @@ class DenseTSDF(BaseMap):
         self.last_stats = stats
         self._update_bin_bucket(stats)
 
-    # ------------------------------------------------------------------
-    # exports
-    # ------------------------------------------------------------------
+    # -- multi-frame ingest (ops/sequence.py) --------------------------------
+    def _sequence_inputs(self, Rs, Ts, depthmaps, textures):
+        """Convert world-frame poses into the active submap frame (same
+        math as per-frame ``set_pose``) and stack the window arrays."""
+        F = len(depthmaps)
+        R_c = np.zeros((F, 3, 3), np.float32)
+        T_c = np.zeros((F, 3), np.float32)
+        for f in range(F):
+            R_, T_ = self.convert_by_base(np.asarray(Rs[f]),
+                                          np.asarray(Ts[f]))
+            R_c[f] = R_
+            T_c[f] = T_
+        self.input_R, self.input_T = R_c[-1].copy(), T_c[-1].copy()
+        if self.enable_texture and textures is not None:
+            tex = jnp.asarray(textures)
+        else:
+            tex = jnp.zeros((F, 1, 1, 3), jnp.uint8)
+        kc = self.K_cam_color if self.K_cam_color is not None else \
+            self.K_cam_dep
+        return (jnp.asarray(depthmaps), tex, jnp.asarray(R_c),
+                jnp.asarray(T_c), jnp.asarray(self.K_cam_dep),
+                jnp.asarray(kc))
+
+    def _sequence_cfg(self):
+        import dataclasses
+        cfg = self._recast_cfg()
+        tb = getattr(self, "_touched_bucket", 0)
+        if tb and tb != cfg.max_touched_blocks:
+            cfg = dataclasses.replace(cfg, max_touched_blocks=tb)
+        return cfg
+
+    def _sequence_verdict(self, stats):
+        """ONE host readback for the window; grow buckets on any capacity
+        miss. Returns True when the window must be redone."""
+        pack = np.asarray(jnp.stack([stats["max_bins_total"],
+                                     stats["max_dropped"],
+                                     stats["max_live_lanes"]]))
+        bins_total, dropped, _live = (int(x) for x in pack)
+        redo = False
+        if dropped > 0:
+            # any capacity miss (bins / touched tiles / lanes / alloc):
+            # grow the adaptive buckets and redo the window from its entry
+            # state — identical end state to correctly-sized buckets
+            want = min(bin_bucket_for(bins_total), self.cfg.max_bins)
+            if want > self._bin_bucket:
+                self._bin_bucket = want
+                redo = True
+            tb = getattr(self, "_touched_bucket",
+                         self.cfg.max_touched_blocks)
+            if tb < self.cfg.max_blocks:
+                self._touched_bucket = min(tb * 2, self.cfg.max_blocks)
+                redo = True
+            if not redo:
+                print("[DenseTSDF] sequence capacity miss at max buckets: "
+                      f"dropped {dropped}")
+        else:
+            self._bin_bucket = min(bin_bucket_for(bins_total),
+                                   self.cfg.max_bins)
+        return redo
+
+    def recast_depth_sequence(self, Rs, Ts, depthmaps, textures=None):
+        """Fuse a window of depth frames in ONE device dispatch.
+
+        Semantically identical to F sequential ``recast_depth_to_map``
+        calls (same per-frame poses and integration math; see
+        ops/sequence.py), amortizing the per-call dispatch cost for bag
+        replay. The active submap must not change inside the window —
+        ``SubmapMapping.recast_depth_sequence`` splits at keyframes.
+        """
+        from taichislam_tpu.ops import sequence as seq_ops
+        depths, tex, R_j, T_j, K, Kc = self._sequence_inputs(
+            Rs, Ts, depthmaps, textures)
+        state0 = self.state
+        for _ in range(8):
+            state, stats = seq_ops.integrate_depth_sequence(
+                self._sequence_cfg(), state0, depths, tex, R_j, T_j, K, Kc,
+                jnp.int32(self.active_submap_id))
+            if not self._sequence_verdict(stats):
+                break
+        self.state = state
+        self.last_stats = stats
+
     def cvt_occupy_to_voxels(self):
         self.cvt_TSDF_surface_to_voxels()
 

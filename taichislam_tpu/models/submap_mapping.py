@@ -278,6 +278,39 @@ class SubmapMapping:
                                                    texture)
         self.frame_count += 1
 
+    def recast_depth_sequence(self, frames):
+        """Batch ingest for bag replay: ``frames`` is an iterable of the
+        per-frame call tuples ``(frame_id, is_keyframe, (R, T),
+        (R_ext, T_ext), depthmap, texture)``. Frames between keyframe
+        boundaries are fused through the map's single-dispatch
+        ``recast_depth_sequence`` window (ops/sequence.py); the submap
+        lifecycle (create/finalize/global fusion) runs at the split
+        points exactly as in the per-frame path."""
+        run = {"R": [], "T": [], "depth": [], "tex": []}
+
+        def flush():
+            if not run["R"]:
+                return
+            tex = (np.stack(run["tex"])
+                   if run["tex"] and run["tex"][0] is not None else None)
+            self.submap_collection.recast_depth_sequence(
+                run["R"], run["T"], np.stack(run["depth"]), tex)
+            for v in run.values():
+                v.clear()
+
+        for frame_id, is_keyframe, pose, ext, depthmap, texture in frames:
+            R, T = self.convert_by_pgo(frame_id, *pose)
+            if self.need_create_new_submap(is_keyframe, R, T):
+                flush()
+                self.create_new_submap(frame_id, R, T)
+            R_ext, T_ext = ext
+            run["R"].append(R @ R_ext)
+            run["T"].append(T + R @ T_ext)
+            run["depth"].append(depthmap)
+            run["tex"].append(texture)
+            self.frame_count += 1
+        flush()
+
     def recast_pcl_to_map_by_frame(self, frame_id, is_keyframe, pose, ext,
                                    pcl, rgb_array):
         R, T = pose

@@ -63,11 +63,15 @@ def main():
     # zero-drop guard below counts alloc_overflow so an under-sized
     # capacity cannot silently cheat. (A production-shaped 8192-block map
     # is measured too — see the secondary field.)
+    # storage_dtype float16 matches the reference's f16 fields
+    # (dense_tsdf.py:92-106) at half the HBM traffic; measured within ~2%
+    # of f32 end-to-end with 2.8 mm max TSDF deviation
+    # (tools/exp_f16_storage.py)
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
         max_blocks=2048, max_bins=32768, max_submap_num=64,
-        max_touched_blocks=256)
+        max_touched_blocks=256, storage_dtype="float16")
 
     # RPC latency baseline
     tiny = jax.jit(lambda x: jnp.sum(x))
@@ -211,7 +215,11 @@ def main():
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
-    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=32)
+    # drained mode runs the multi-hop scans EVERY sweep (esdf_scan_sweeps
+    # -1): convergence then takes ~2-3 scan sweeps instead of
+    # ~shadow-diameter class sweeps
+    drained_cfg = dataclasses.replace(esdf_cfg, esdf_scan_sweeps=-1)
+    ms_drained, _ = size_and_time(drained_cfg, esdf_cap=256, budget=32)
 
     def run_mc(k):
         @jax.jit

@@ -176,6 +176,15 @@ class TSDFConfig:
     # (exactness preserved); negative disables gating entirely.
     esdf_seed_eps_voxels: float = 0.25
 
+    # How many leading sweeps of each ESDF update run the multi-hop
+    # segmented axis scans (the "raise queue" pass that moves information a
+    # whole block-row per sweep; a scan sweep costs ~2x a class-stencil
+    # sweep). 1 = first sweep only (best for small per-frame budgets, where
+    # later sweeps are cheap refinements); -1 = every sweep (best for
+    # DRAINED updates — convergence needs ~2-3 scan sweeps instead of
+    # ~shadow-diameter class sweeps).
+    esdf_scan_sweeps: int = 1
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

@@ -71,6 +71,27 @@ def _moller_trumbore(v0, e1, e2, P, w):
     return succ, t
 
 
+def _moller_trumbore_fan(v0, e1, e2, P, w):
+    """(R rays) × (F facelets) intersection in one vectorized pass — same
+    math/quirks as :func:`_moller_trumbore`, broadcast to (R, F). ``P`` is
+    (3,) (shared origin) or (R, 3); ``w`` is (R, 3). The reference runs the
+    whole fan inside one kernel (topo_graph.py:444-470); the round-2
+    per-ray Python loop here was O(R·F) single-threaded."""
+    q = np.cross(w[:, None, :], e2[None, :, :])          # (R, F, 3)
+    a = np.einsum("fd,rfd->rf", e1, q)
+    ok = np.abs(a) > 1e-5
+    a_safe = np.where(ok, a, 1.0)
+    P2 = P[None, None, :] if P.ndim == 1 else P[:, None, :]
+    s = (P2 - v0[None]) / a_safe[..., None]              # (R, F, 3)
+    r = np.cross(s, e1[None])
+    b0 = np.einsum("rfd,rfd->rf", s, q)
+    b1 = np.einsum("rfd,rd->rf", r, w)
+    b2 = 1.0 - b0 - b1
+    t = np.einsum("fd,rfd->rf", e2, r)
+    succ = ok & (b0 >= 0) & (b1 >= 0) & (b2 >= 0)
+    return succ, t
+
+
 class TopoGraphGen:
     def __init__(self, mapping, coll_det_num=128, max_raycast_dist=2,
                  max_facelets=1024 * 1024, thres_size=0.5, transparent=0.7,
@@ -171,19 +192,21 @@ class TopoGraphGen:
         best_t = np.full(R, max_dist, np.float32)
         best_poly = np.full(R, -1, np.int32)
         succ = np.zeros(R, bool)
-        if self.num_facelets:
-            keep = self.fl_poly != skip_idx
+        keep = self.fl_poly != skip_idx
+        if self.num_facelets and keep.any():
             v0, e1, e2 = self.fl_v0[keep], self.fl_e1[keep], self.fl_e2[keep]
             poly = self.fl_poly[keep]
-            for r in range(R):
-                s, t = _moller_trumbore(v0, e1, e2, pos, dirs[r])
-                s &= (t > backward_dist) & (t < best_t[r])
-                if s.any():
-                    i = np.argmin(np.where(s, t, np.inf))
-                    best_t[r] = t[i]
-                    best_poly[r] = poly[i]
-                    succ[r] = True
-        return succ, pos + dirs * best_t[:, None], best_t, best_poly
+            s, t = _moller_trumbore_fan(v0, e1, e2,
+                                        np.asarray(pos, np.float32), dirs)
+            s &= (t > backward_dist) & (t < max_dist)     # (R, F)
+            any_hit = s.any(axis=1)
+            i = np.argmin(np.where(s, t, np.inf), axis=1)
+            rr = np.arange(R)
+            best_t = np.where(any_hit, t[rr, i], best_t).astype(np.float32)
+            best_poly = np.where(any_hit, poly[i], best_poly)
+            succ = any_hit
+        pos_b = pos if np.ndim(pos) == 1 else np.asarray(pos)
+        return succ, pos_b + dirs * best_t[:, None], best_t, best_poly
 
     def raycast(self, pos, dirs, max_dist, skip_idx=-1):
         """Combined polyhedron+map raycast (topo_graph.py:490-507).
@@ -252,24 +275,25 @@ class TopoGraphGen:
         # frontier detection (topo_graph.py:324-342), batched on device:
         # NOTE: the reference's is_near_pos_occupy(center, 0) iterates an
         # empty range and is always False — only the other checks matter.
-        occ_c, unobs_c = self._map_query(center)
         start_rc = center + normal * self.mapping.voxel_scale
-        occ_s, _ = self._map_query(start_rc)
+        # one stacked point query covers center-unobserved + start-occupied
+        occ_both, unobs_both = self._map_query(
+            np.concatenate([center, start_rc]))
+        unobs_c = unobs_both[:F]
+        occ_s = occ_both[F:]
         candidate = (~unobs_c) & (~occ_s)
         is_frontier = np.zeros(F, bool)
         neighbor_nodes = []
         if candidate.any():
             idx = np.nonzero(candidate)[0]
-            # per-candidate raycast along its normal
-            for i in idx:
-                s, t, _, _, pidx = self.raycast(
-                    start_rc[i], normal[i][None],
-                    self.frontier_creation_threshold)
-                if s[0]:
-                    if t[0] == 1:
-                        neighbor_nodes.append(int(pidx[0]))
-                else:
-                    is_frontier[i] = True
+            # ALL candidate raycasts in ONE call (per-ray origins) — the
+            # round-2 per-candidate loop paid one device dispatch each
+            s, t, _, _, pidx = self.raycast(
+                start_rc[idx], normal[idx],
+                self.frontier_creation_threshold)
+            is_frontier[idx[~s]] = True
+            neighbor_nodes.extend(
+                int(p) for p in pidx[s & (t == 1)])
 
         self.fl_v0 = np.concatenate([self.fl_v0, v0])
         self.fl_e1 = np.concatenate([self.fl_e1, e1])

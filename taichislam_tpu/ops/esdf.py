@@ -47,10 +47,17 @@ TPU-native formulation (all static shapes, no queues, no atomics):
   millimeters each frame; with zero tolerance that re-floods the full
   shadow region (up to max_ray deep) every frame — voxblox has the same
   pathology, one reason its ESDF "memory issue" was never closed. Gaps
-  below the slack are tolerated: stale values lag the true field by at
-  most slack·voxel_scale (each voxel's lag is its own true-value rise —
-  it does NOT accumulate along chains), while structural raises cascade
-  exactly. slack = 0 recovers exact voxblox raise semantics.
+  below the slack are tolerated, so stale values can lag the true field;
+  the lag can ACCUMULATE along support chains at up to slack·voxel_scale
+  per hop (a self-supporting uniformly-lagged region grants the
+  tolerance at every hop). In practice the multi-hop axis scans re-root
+  at fixed cells — axis-aligned chains carry the seed's exact value with
+  ZERO per-hop slack — so only zig-zag/diagonal chains accumulate:
+  measured worst-case residual ≈ 3·slack·voxel under adversarial
+  fast-recession (tests/test_esdf.py
+  test_esdf_budget_staleness_adversarial). Structural raises above the
+  slack cascade exactly; slack = 0 recovers exact voxblox raise
+  semantics (property-tested to the brute-force fixed point).
 - warm starts: previous ESDF values initialize the iteration (kept where the
   TSDF sign is unchanged), so per-frame incremental updates converge in a
   few sweeps inside the ``lax.while_loop``; staleness of any kind is
@@ -502,50 +509,60 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     blk = blk.at[-1].set(False)
     participate_full = obs_full & blk[:, None]
 
-    def dilate(mask):
-        """27-dilation of a block bitmap via compact scatter: probe the
-        masked rows' neighbor slots (27·k table gathers) and mark them —
-        beats the full-table gather form (27·nb) when the working set is a
-        small fraction of the allocated grid (the incremental case).
-        Returns (dilated | mask, total) — a total above block_cap means
-        rows were dropped and the dilation is incomplete (reported via the
-        overflow return, caller redoes with a larger cap)."""
-        pos, kept, total = compact_mask(mask, block_cap)
-        rows = jnp.full((block_cap,), nb - 1, jnp.int32).at[pos].set(
-            jnp.arange(nb, dtype=jnp.int32), mode="drop")
-        ns = neighbor_slot_table(spec, state, active_submap, rows=rows)
-        valid = jnp.arange(block_cap) < kept
-        tgt = jnp.where(valid[:, None], ns.reshape(block_cap, 27), nb - 1)
-        out = jnp.zeros((nb,), bool).at[tgt.reshape(-1)].set(
-            True).at[nb - 1].set(False)
-        return out | mask, total
+    # compact rows are padded once to a multiple of 8 (the Pallas sweep
+    # kernel's slab height) so no per-sweep row padding is needed
+    NROWS = block_cap + 1 + ((-(block_cap + 1)) % 8)
 
     if dirty_blocks is None:
         work_blk = blk
         src_blk = blk
-        dil_total = jnp.int32(0)
+        bpos, bkept, btotal = compact_mask(src_blk, block_cap)
+        slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
+        bvalid = jnp.arange(block_cap) < bkept
+        overflow_in = jnp.maximum(btotal - block_cap, 0)
+        ns_d = rows_d = validD = None
     else:
         # The working set is the dirty blocks THEMSELVES; their 26-ring is
         # gathered as a FROZEN rim only (the sweep recomputes every voxel
         # from its neighbors, so edge voxels must see their out-of-set
         # support as Dirichlet boundary values or they would spuriously
         # raise). Wavefronts that need to propagate INTO the rim are
-        # re-queued by dilating ``changed_blocks`` below — the next update
+        # re-queued via the boundary-shell logic below — the next update
         # picks them up, amortizing long-range propagation across frames
         # exactly like voxblox's budget-bounded queues. Keeping the update
         # ring tight (vs dilating the dirty set up front) halves the
         # compacted cap and with it every per-sweep cost.
+        #
+        # ONE neighbor probe serves everything: the dirty rows' 27-slot
+        # table ``ns_d`` IS the src candidate list (dirty ∪ rim), the
+        # kernel's halo-exchange table (only updatable rows need halos),
+        # and the epilogue's shell re-queue targets — the round-2 version
+        # paid two probes, a bitmap scatter round-trip, and a second
+        # full-bitmap compaction here (~0.9 ms of tiny-op latency).
         dirty = dirty_blocks.at[-1].set(False)
         work_blk = blk & dirty
-        rim, w_total = dilate(work_blk)
-        src_blk = blk & rim
-        dil_total = w_total
+        posD, keptD, totalD = compact_mask(work_blk, block_cap)
+        rows_d = jnp.full((block_cap,), nb - 1, jnp.int32).at[posD].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop")
+        validD = jnp.arange(block_cap) < keptD
+        ns_d = neighbor_slot_table(spec, state, active_submap, rows=rows_d)
+        ns_flat = jnp.where(validD[:, None], ns_d.reshape(block_cap, 27),
+                            nb - 1)
+        # dedupe (dirty ∪ neighbors) by sorting the 27·cap candidate slots
+        # (garbage slot nb-1 sorts last and is masked) — ascending slot
+        # order, deterministic
+        cand = jnp.concatenate([jnp.where(validD, rows_d, nb - 1),
+                                ns_flat.reshape(-1)])
+        srt = jax.lax.sort(cand)
+        head = (srt < nb - 1) & jnp.concatenate(
+            [jnp.array([True]), srt[1:] != srt[:-1]])
+        posS, keptS, totalS = compact_mask(head, block_cap)
+        slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[posS].set(
+            jnp.where(head, srt, nb - 1), mode="drop")[:block_cap]
+        bvalid = jnp.arange(block_cap) < keptS
+        overflow_in = jnp.maximum(jnp.maximum(totalD, totalS) - block_cap, 0)
 
-    # ---- compact the working-set blocks (+ frozen rim) ---------------------
-    bpos, bkept, btotal = compact_mask(src_blk, block_cap)
-    slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
-        jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
-    bvalid = jnp.arange(block_cap) < bkept
     # global slot -> compact index (garbage rows -> block_cap)
     inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(
         jnp.where(bvalid, jnp.arange(block_cap, dtype=jnp.int32), block_cap),
@@ -554,8 +571,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     def gcomp(arr, fill):
         out = jnp.take(arr, slot_of, axis=0)
         out = jnp.where(bvalid[:, None], out, fill)
-        pad = jnp.full((1,) + out.shape[1:], fill, out.dtype)
-        return jnp.concatenate([out, pad], axis=0)   # (cap+1, V^3)
+        pad = jnp.full((NROWS - block_cap,) + out.shape[1:], fill, out.dtype)
+        return jnp.concatenate([out, pad], axis=0)   # (NROWS, V^3)
 
     tsdf = gcomp(tsdf_full, 0.0)
     participate = gcomp(participate_full, False)
@@ -578,18 +595,30 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                                 seed))
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
-    # neighbor slots in compact space (probed for the working set only)
-    nslots = jnp.take(inv, neighbor_slot_table(
-        spec, state, active_submap, rows=slot_of), axis=0)
-    nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
-    # pad a garbage row so nslots matches the (cap+1)-row tile arrays
-    nslots = jnp.concatenate(
-        [nslots, jnp.full((1, 3, 3, 3), block_cap, jnp.int32)], axis=0)
+    # neighbor slots in compact space. Only UPDATABLE rows need halos (rim
+    # rows are Dirichlet pass-throughs whose values feed others' halos but
+    # never read their own), so in dirty mode the dirty rows' probe is
+    # simply remapped and scattered — no second probe.
+    if ns_d is not None:
+        tgtD = jnp.where(validD, jnp.take(inv, rows_d), block_cap)
+        nslots = jnp.full((NROWS, 3, 3, 3), block_cap, jnp.int32).at[
+            jnp.minimum(tgtD, NROWS - 1)].set(
+            jnp.where(validD[:, None, None, None], jnp.take(inv, ns_d),
+                      block_cap), mode="drop")
+        nslots = nslots.at[block_cap:].set(block_cap)
+    else:
+        nslots = jnp.take(inv, neighbor_slot_table(
+            spec, state, active_submap, rows=slot_of), axis=0)
+        nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
+        nslots = jnp.concatenate(
+            [nslots, jnp.full((NROWS - block_cap, 3, 3, 3), block_cap,
+                              jnp.int32)], axis=0)
 
     # rows holding frozen-rim blocks participate as sources but are never
     # updated (Dirichlet boundary of the working set)
     updatable = jnp.take(work_blk, slot_of, axis=0) & bvalid
-    updatable = jnp.concatenate([updatable, jnp.zeros((1,), bool)])
+    updatable = jnp.concatenate(
+        [updatable, jnp.zeros((NROWS - block_cap,), bool)])
 
     pos_side = participate & ~fixed & (tsdf >= 0) & updatable[:, None]
     neg_side = participate & ~fixed & (tsdf < 0) & updatable[:, None]
@@ -628,12 +657,14 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         cand_hi = jnp.maximum(jnp.maximum(fh - v1, eh - v2), chs - v3)
 
         # multi-hop axis scans (see _scan_candidates_fused) run on the
-        # FIRST sweep only: raise events originate from seed changes
-        # between updates, so one scan pass carries every risen seed's
-        # influence across its whole row (the raise queue); the remaining
-        # sweeps are cheap 26-class refinements (a scan pass costs ~3x a
-        # class sweep). Residual long-range adjustments re-queue via
-        # ``changed_blocks`` and get next update's scan pass.
+        # first ``cfg.esdf_scan_sweeps`` sweeps (default 1): raise events
+        # originate from seed changes between updates, so one scan pass
+        # carries every risen seed's influence across its whole row (the
+        # raise queue); the remaining sweeps are cheap 26-class
+        # refinements (a scan pass costs ~2x a class sweep). Residual
+        # long-range adjustments re-queue via ``changed_blocks`` and get
+        # next update's scan pass. -1 = scans every sweep (drained mode:
+        # converges in ~2-3 sweeps instead of ~shadow-diameter).
         def with_scans(cands):
             c_lo, c_hi = cands
             c_lo = jnp.minimum(c_lo, _scan_candidates_fused(
@@ -642,8 +673,12 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                 -hi, (hi <= -BIG * 0.5) | fixed_h, v1, BIG, W))
             return c_lo, c_hi
 
-        cand_lo, cand_hi = jax.lax.cond(
-            it == 0, with_scans, lambda c: c, (cand_lo, cand_hi))
+        if cfg.esdf_scan_sweeps < 0:
+            cand_lo, cand_hi = with_scans((cand_lo, cand_hi))
+        else:
+            cand_lo, cand_hi = jax.lax.cond(
+                it < cfg.esdf_scan_sweeps, with_scans, lambda c: c,
+                (cand_lo, cand_hi))
 
         # support check (see module docstring): supported values relax
         # monotonically; an UNSUPPORTED value — its (multi-hop) neighbors
@@ -665,43 +700,39 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         # fused-kernel path (ops/pallas/esdf_sweep.py): the whole sweep
         # body — source masking, class extrema, scans, support check — runs
         # as ONE VMEM-resident pass; only the halo exchange stays out here.
-        # The kernel derives source/fixed masks on-chip from the assembled
-        # TSDF/observed halos (two channel assemblies per update replace
-        # three mask assemblies + the XLA mask math).
-        from taichislam_tpu.ops.pallas.esdf_sweep import esdf_sweep_pallas
-        tsdf_hh = _assemble_sweep(_to_sweep_layout(tsdf, V, 0.0), nslots,
-                                  V, 0.0)
-        obs_hh = _assemble_sweep(_to_sweep_layout(participate, V, False),
-                                 nslots, V, False).astype(jnp.int8)
+        # All static kernel inputs collapse into ONE encoded channel:
+        # ``enc = TSDF where participating else +BIG``, from which the
+        # kernel derives observed / fixed / source masks on-chip, plus the
+        # interior-only update-side mask (one channel assembly + one
+        # elementwise pass replace the round-2 version's two assemblies and
+        # three layout conversions).
+        from taichislam_tpu.ops.pallas.esdf_sweep import ENC_BIG, \
+            esdf_sweep_pallas
+        enc_hh = _assemble_sweep(
+            _to_sweep_layout(jnp.where(participate, tsdf, ENC_BIG), V,
+                             ENC_BIG), nslots, V, ENC_BIG)
         side_hh = pos_side_h.astype(jnp.int8) - neg_side_h.astype(jnp.int8)
-        npad = (-(block_cap + 1)) % 8
-
-        def prows(a, fill):
-            return jnp.pad(a, ((0, npad), (0, 0), (0, 0)),
-                           constant_values=fill)
-        tsdf_p = prows(tsdf_hh, 0.0)
-        obs_p = prows(obs_hh, 0)
-        side_p = prows(side_hh, 0)
 
         def body(carry):
             esdf, _, it = carry
             eh = _assemble_sweep(esdf, nslots, V, 0.0)
-            ehp = prows(eh, 0.0)
 
             def call(with_scans):
                 def f(x):
                     return esdf_sweep_pallas(
-                        x, tsdf_p, obs_p, side_p, V=V,
+                        x, enc_hh, side_hh, V=V,
                         v1=float(cfg.voxel_scale), gamma=float(gamma),
                         eps=float(eps_py), max_ray=float(max_ray),
                         with_scans=with_scans,
                         interpret=jax.default_backend() != "tpu")
                 return f
-            # scans on the FIRST sweep only, like the XLA body: one scan
-            # pass carries every seed change across its whole row; later
-            # sweeps are the cheap class-stencil kernel (~1/4 the VPU work)
-            new = jax.lax.cond(it == 0, call(True), call(False),
-                               ehp)[:block_cap + 1]
+            # scans on the first cfg.esdf_scan_sweeps sweeps (like the XLA
+            # body); -1 = the scans kernel every sweep (drained mode)
+            if cfg.esdf_scan_sweeps < 0:
+                new = call(True)(eh)
+            else:
+                new = jax.lax.cond(it < cfg.esdf_scan_sweeps, call(True),
+                                   call(False), eh)
             changed = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps)
             return new, changed, it + 1
 
@@ -743,14 +774,20 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         row_changed[:block_cap], mode="drop").at[-1].set(False)
     if dirty_blocks is not None:
         shell = jnp.asarray(_shell_mask_np(V))
-        shell_changed = jnp.any(diff & shell[None, :], axis=1)
-        shell_blocks = jnp.zeros((nb,), bool).at[tgt].set(
-            shell_changed[:block_cap], mode="drop").at[-1].set(False)
+        shell_changed = jnp.any(diff & shell[None, :], axis=1)  # (NROWS,)
+        # shell-changed rows are updatable (= dirty) rows, whose 27-slot
+        # neighborhoods were already probed into ``ns_flat`` — one scatter
+        # re-queues them, no second dilation pass
+        shell_d = jnp.take(shell_changed, jnp.minimum(tgtD, NROWS - 1)) & \
+            validD
+        tgt27 = jnp.where(shell_d[:, None], ns_flat, nb - 1)
+        shell_blocks = jnp.zeros((nb,), bool).at[tgt27.reshape(-1)].set(
+            True).at[-1].set(False)
         changed_blocks = (changed_blocks |
-                          (blk & dilate(shell_blocks)[0])).at[-1].set(False)
-    # dil_total guards the scatter-dilation inputs too: a dropped dirty row
-    # would silently under-build the working set
-    overflow = jnp.maximum(jnp.maximum(btotal, dil_total) - block_cap, 0)
+                          (blk & shell_blocks)).at[-1].set(False)
+    # overflow_in also guards the probe inputs: a dropped dirty row would
+    # silently under-build the working set
+    overflow = overflow_in
     return esdf, fixed_full, participate_full, sweeps, changed_blocks, \
         overflow
 

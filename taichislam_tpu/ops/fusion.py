@@ -270,7 +270,8 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         touched, acc, n_touched, _ = segmented_block_reduce(
             bkey, jnp.where(c.ok, c.intra, 0), vals, V3,
             glob_cfg.max_touched_blocks,
-            interpret=(jax.default_backend() != "tpu"))
+            interpret=(jax.default_backend() != "tpu"),
+            max_bkey=gspec.num_submaps * gspec.blocks_per_submap)
         tiles_dropped = jnp.maximum(
             n_touched - glob_cfg.max_touched_blocks, 0)
 

@@ -33,23 +33,27 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e9
+# participation encoding: enc = TSDF where observed-and-active, +ENC_BIG
+# otherwise — one f32 channel carries what used to be separate TSDF and
+# observed inputs (ENC_BIG is far outside any real TSDF, which is bounded
+# by max_ray)
+ENC_BIG = 1e6
 
 
-def _kernel(esdf_ref, tsdf_ref, obs_ref, side_ref, out_ref, *,
+def _kernel(esdf_ref, enc_ref, side_ref, out_ref, *,
             W: int, R: int, v1: float, gamma: float, eps: float,
             max_ray: float, with_scans: bool):
     L = W * W
     h = esdf_ref[...]                       # (R, W, L) f32
-    # masks convert i8 -> f32 at load and stay f32 0/1 arithmetic: i8 tiles
-    # are (32, 128) vs f32 (8, 128), and comparisons across the two layouts
-    # produce i1 vectors Mosaic cannot relayout ("(0,0)" -> replicated).
-    # Source/fixed masks derive on-chip from the (halo-assembled) TSDF and
-    # observed channels — deriving here replaces three XLA mask-halo
-    # assemblies per update with two channel assemblies.
-    tsdf = tsdf_ref[...]                    # (R, W, L) f32, halo-assembled
-    obs_f = obs_ref[...].astype(jnp.float32)
+    # masks stay f32 0/1 arithmetic: i8 tiles are (32, 128) vs f32 (8, 128),
+    # and comparisons across the two layouts produce i1 vectors Mosaic
+    # cannot relayout ("(0,0)" -> replicated). Source/fixed/observed masks
+    # derive on-chip from the single encoded channel (see ENC_BIG).
+    enc = enc_ref[...]                      # (R, W, L) f32, halo-assembled
     side_f = side_ref[...].astype(jnp.float32)  # +1 pos side, -1 neg side
     gammaf = jnp.float32(gamma)
+    obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5), 1.0, 0.0)
+    tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
     fixed_f = jnp.where(jnp.abs(tsdf) < gammaf, obs_f, 0.0)
     psrc_f = jnp.where(tsdf >= gammaf, obs_f, fixed_f)
     nsrc_f = jnp.where(tsdf <= -gammaf, obs_f, fixed_f)
@@ -174,17 +178,17 @@ def _kernel(esdf_ref, tsdf_ref, obs_ref, side_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("V", "v1", "gamma", "eps",
                                              "max_ray", "with_scans",
                                              "interpret"))
-def esdf_sweep_pallas(esdf_h, tsdf_h, obs_h, side_h, *, V: int,
+def esdf_sweep_pallas(esdf_h, enc_h, side_h, *, V: int,
                       v1: float, gamma: float, eps: float, max_ray: float,
                       with_scans: bool = True, interpret: bool = False):
     """One fused relaxation sweep over the (N, W, W²) sweep-layout field.
 
-    ``esdf_h`` and ``tsdf_h`` must have halos already assembled; ``obs_h``
-    is the i8 participation mask WITH assembled halos (source and fixed
-    masks derive on-chip from tsdf/obs); ``side_h`` is the interior-only
-    update-side mask (+1/-1/0, i8). N must be a multiple of 8 (pad with
-    zero rows). Returns the updated field (interior updated, halo lanes
-    passed through)."""
+    ``esdf_h`` and ``enc_h`` must have halos already assembled; ``enc_h``
+    is the encoded TSDF/participation channel (TSDF where participating,
+    +ENC_BIG otherwise — observed/fixed/source masks derive on-chip);
+    ``side_h`` is the interior-only update-side mask (+1/-1/0, i8). N must
+    be a multiple of 8 (pad with fill rows). Returns the updated field
+    (interior updated, halo lanes passed through)."""
     W = V + 2
     N = esdf_h.shape[0]
     R = 8
@@ -197,8 +201,8 @@ def esdf_sweep_pallas(esdf_h, tsdf_h, obs_h, side_h, *, V: int,
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[bspec(), bspec(), bspec(), bspec()],
+        in_specs=[bspec(), bspec(), bspec()],
         out_specs=bspec(),
         out_shape=jax.ShapeDtypeStruct(esdf_h.shape, jnp.float32),
         interpret=interpret,
-    )(esdf_h, tsdf_h, obs_h, side_h)
+    )(esdf_h, enc_h, side_h)

@@ -142,7 +142,8 @@ def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
 
 def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
                            rows: int = 16, interpret: bool = False,
-                           lane_cap: int | None = None):
+                           lane_cap: int | None = None,
+                           max_bkey: int | None = None):
     """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:
@@ -156,6 +157,11 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
             dead-lane tail (~30-50% of a march lattice). Dropped VALID
             lanes (cap too small) are counted in the returned
             ``lanes_dropped`` so callers can grow the cap / assert zero.
+        max_bkey: optional static bound on valid block keys. When
+            ``max_bkey * V3 < SENTINEL_KEY`` the sort runs on a PACKED
+            ``bkey * V3 + intra`` key (one i32 operand instead of two —
+            the multi-operand sort's cost scales with total bytes moved)
+            and unpacks afterwards with two cheap elementwise passes.
     Returns (touched (max_touched,) int32 block keys (-1 padded),
              acc (max_touched, n_vals, V3) f32, n_touched — may exceed
              max_touched on overflow; overflowed tiles are dropped,
@@ -170,7 +176,13 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
         intra = jnp.pad(intra, (0, pad))
         vals = tuple(jnp.pad(v, (0, pad)) for v in vals)
     N = bkey.shape[0]
-    srt = jax.lax.sort((bkey, intra) + tuple(vals), num_keys=1)
+    packed = max_bkey is not None and max_bkey * V3 < SENTINEL_KEY
+    if packed:
+        pk = jnp.where(bkey < SENTINEL_BLOCK, bkey * V3 + intra,
+                       SENTINEL_KEY)
+        srt = jax.lax.sort((pk,) + tuple(vals), num_keys=1)
+    else:
+        srt = jax.lax.sort((bkey, intra) + tuple(vals), num_keys=1)
     lanes_dropped = jnp.int32(0)
     if lane_cap is not None and lane_cap < N:
         lane_cap = max((lane_cap + chunk - 1) // chunk * chunk, chunk)
@@ -179,6 +191,12 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
             lanes_dropped = jnp.maximum(n_valid - lane_cap, 0)
             srt = tuple(a[:lane_cap] for a in srt)
             N = lane_cap
+    if packed:
+        pk_s = srt[0]
+        bk_s = pk_s // V3
+        invalid_s = pk_s >= SENTINEL_KEY
+        srt = (jnp.where(invalid_s, SENTINEL_BLOCK, bk_s),
+               jnp.where(invalid_s, 0, pk_s - bk_s * V3)) + srt[1:]
     ops = [a.reshape(-1, rows, 128) for a in srt]
 
     grid = (N // chunk,)

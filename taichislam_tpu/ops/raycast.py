@@ -75,7 +75,8 @@ def make_octomap_occupancy_fn(cfg, state, active_submap):
 
 
 def raycast(occupancy_fn, pos, dirs, max_dist, voxel_scale, max_steps: int):
-    """March ``dirs`` (R, 3) from ``pos`` (3,) one voxel per step.
+    """March ``dirs`` (R, 3) from ``pos`` — (3,) shared or (R, 3) per-ray
+    origins — one voxel per step.
 
     Mirrors BaseMap.raycast (mapping_common.py:165-178): sample points at
     distances 0, v, 2v, …; first occupied sample wins. Returns
@@ -84,7 +85,8 @@ def raycast(occupancy_fn, pos, dirs, max_dist, voxel_scale, max_steps: int):
     steps = jnp.arange(max_steps, dtype=jnp.float32) * voxel_scale
     live = steps < max_dist if jnp.ndim(max_dist) == 0 else \
         steps[None, :] < max_dist[:, None]
-    x = pos + dirs[:, None, :] * steps[None, :, None]      # (R, S, 3)
+    pos_b = pos if jnp.ndim(pos) == 1 else pos[:, None, :]
+    x = pos_b + dirs[:, None, :] * steps[None, :, None]    # (R, S, 3)
     occ = occupancy_fn(x) & live                            # (R, S)
     hit = jnp.any(occ, axis=-1)
     first = jnp.argmax(occ, axis=-1)

@@ -95,11 +95,14 @@ def w_x_p(cfg: TSDFConfig, d, z):
 # frame preprocessing: depth image -> gated sensor-frame points
 # ---------------------------------------------------------------------------
 
-def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
+def depth_to_points_c(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
     """Strided unprojection with the reference's gating
     (dense_tsdf.py:188-214): drop zero depth, out-of-range depth; mm -> m.
 
-    Returns (pts_cam (P,3), z (P,), color (P,3) or None, valid (P,)).
+    Returns ((x, y, z_cam) components, z (P,), color (P,3) or None,
+    valid (P,)). Component arrays — a stacked (P, 3) output pads its minor
+    dim 3 -> 128 lanes on TPU (measured ~0.5 ms/frame of padded HBM traffic
+    at 640x480/step 2).
     """
     h, w = depth_mm.shape
     step = cfg.recast_step
@@ -111,7 +114,9 @@ def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
     valid = (d_mm != 0) & (d_mm <= cfg.max_ray_length * 1000.0) & (
         d_mm >= cfg.min_ray_length * 1000.0)
     dep = d_mm / 1000.0
-    pts = geometry.unproject_point_dep(ii, jj, dep, K_dep)
+    fx, cx, fy, cy = K_dep[0], K_dep[2], K_dep[4], K_dep[5]
+    px = (ii.astype(jnp.float32) - cx) * dep / fx
+    py = (jj.astype(jnp.float32) - cy) * dep / fy
     color = None
     if cfg.texture_enabled:
         if cfg.color_same_proj:
@@ -124,7 +129,15 @@ def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
                 ii.astype(jnp.float32), jj.astype(jnp.float32),
                 K_dep, K_color, tw, th)
             color = texture[cj, ci, :].astype(jnp.float32)
-    return pts, dep, color, valid
+    return (px, py, dep), dep, color, valid
+
+
+def depth_to_points(cfg: TSDFConfig, depth_mm, texture, K_dep, K_color):
+    """Stacked-points wrapper over :func:`depth_to_points_c` (tools/tests).
+    Returns (pts_cam (P, 3), z (P,), color (P, 3) or None, valid (P,))."""
+    (px, py, pz), dep, color, valid = depth_to_points_c(
+        cfg, depth_mm, texture, K_dep, K_color)
+    return jnp.stack([px, py, pz], axis=-1), dep, color, valid
 
 
 def pcl_to_points(cfg: TSDFConfig, xyz_array, rgb_array):
@@ -385,7 +398,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
         touched_rel, acc, n_touched, lanes_dropped = segmented_block_reduce(
             bkey, intra_k, vals, V3, cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"),
-            lane_cap=(cfg.max_march_lanes or None))
+            lane_cap=(cfg.max_march_lanes or None),
+            max_bkey=spec.blocks_per_submap)
         live_lanes = jnp.sum(lane_ok.astype(jnp.int32))
         touched_dropped = jnp.maximum(n_touched - cfg.max_touched_blocks, 0)
 
@@ -499,9 +513,8 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
 def integrate_depth(cfg: TSDFConfig, state: GridState, depth_mm, texture,
                     R, T, K_dep, K_color, active_submap):
     """recast_depth_to_map equivalent (dense_tsdf.py:162-165, 188-214)."""
-    pts, dep, color, valid = depth_to_points(cfg, depth_mm, texture, K_dep,
-                                             K_color)
-    px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+    (px, py, pz), dep, color, valid = depth_to_points_c(
+        cfg, depth_mm, texture, K_dep, K_color)
     # rotate componentwise (a stacked (P, 3) matmul pads 3 -> 128 lanes)
     m0 = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz
     m1 = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz

@@ -112,9 +112,8 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
         from taichislam_tpu.core.grid import (
             allocate_blocks, lookup_slots, voxel_to_block_c)
 
-        pts, dep, color, valid = tsdf_ops.depth_to_points(cfg, depth, texture,
-                                                          K, Kc)
-        px, py, pz = pts[:, 0], pts[:, 1], pts[:, 2]
+        (px, py, pz), dep, color, valid = tsdf_ops.depth_to_points_c(
+            cfg, depth, texture, K, Kc)
         m0 = R[0, 0] * px + R[0, 1] * py + R[0, 2] * pz
         m1 = R[1, 0] * px + R[1, 1] * py + R[1, 2] * pz
         m2 = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz

@@ -401,3 +401,67 @@ def test_esdf_deferred_check_interval():
     assert set(a) == set(b)
     err = max(abs(a[k] - b[k]) for k in a)
     assert err < 5e-3, f"deferred vs interactive max err {err}"
+
+
+def test_esdf_budget_staleness_adversarial():
+    """Budget-bounded sweeps with cross-frame re-queue (bench.py's
+    production mode: budget 3, 0.5-voxel raise hysteresis, seed gating)
+    must keep BOUNDED staleness under a fast-RECEDING surface — the
+    raise-cascade worst case (3 voxels/frame, every frame), not the benign
+    orbit scene — and drain to slack-exactness once motion stops."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = DenseESDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_ray_length=2.0,
+                  min_ray_length=0.3, max_blocks=512, max_bins=8192,
+                  max_submap_num=8, max_esdf_sweeps=3,
+                  esdf_raise_slack_voxels=0.5,
+                  esdf_dense_max_voxels=0)     # force block-incremental
+    m.cfg = dataclasses.replace(m.cfg, esdf_converge_eps=2e-3)
+    m.set_dep_camera_intrinsic(
+        np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
+    R = np.eye(3, dtype=np.float32)
+    T = np.zeros(3, np.float32)
+    full_cfg = dataclasses.replace(m.cfg, esdf_scan_sweeps=-1)
+    shape = m.esdf.shape
+
+    def drained_field():
+        """Exact fixed point for the CURRENT TSDF state, from scratch."""
+        e, f, part, _, _, ov = esdf_ops.esdf_update(
+            full_cfg, 64, 512, m.state, jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.int8), jnp.int32(0))
+        assert int(ov) == 0
+        return np.asarray(e), np.asarray(part)
+
+    # warm start: first observation of a whole frustum legitimately needs a
+    # full drain (from-scratch field construction, not incremental lag)
+    m.recast_depth_to_map(R, T, np.full((48, 64), 1000, np.uint16), None)
+    _drain_esdf(m)
+
+    worst = 0.0
+    for f in range(1, 6):
+        depth = np.full((48, 64), 1000 + 300 * f, np.uint16)
+        m.recast_depth_to_map(R, T, depth, None)
+        exact, part = drained_field()
+        err = np.abs(np.where(part, np.asarray(m.esdf) - exact, 0.0))
+        worst = max(worst, float(err.max()))
+    # bounded lag during motion: the block-granular wavefront re-queue
+    # keeps the whole field within ~1.5 frames of recession (0.3 m/frame)
+    # of the exact one (measured 0.43 worst over the sequence)
+    assert worst < 0.6, f"budget-mode staleness {worst} m under recession"
+
+    # once motion stops, pending wavefronts drain to the slack-tolerant
+    # fixed point: lag accumulates at <= slack·voxel per support-chain
+    # hop, and the axis scans re-root at fixed cells so only diagonal
+    # chains accumulate — measured residual 0.16 m ≈ 3 hops · 0.05 m
+    # (see ops/esdf.py module docstring; slack=0 drains exactly,
+    # covered by the brute-force property tests)
+    _drain_esdf(m)
+    exact, part = drained_field()
+    err = np.abs(np.where(part, np.asarray(m.esdf) - exact, 0.0)).max()
+    slack_bound = 5 * 0.5 * m.cfg.voxel_scale
+    assert err < slack_bound, f"drained staleness {err} m"

@@ -115,8 +115,25 @@ def main():
         for i in range(n):
             esdf.recast_depth_to_map(Rs[i], Ts[i], depth[i], None)
     t, _ = wall(run_esdf, reps=1)
-    row("3 TSDF + incremental ESDF", "fps", round(n / t, 1),
+    row("3 TSDF + incremental ESDF (per-call)", "fps", round(n / t, 1),
         f"(per-frame ESDF, last {esdf.last_esdf_sweeps} sweeps)")
+
+    # same workload through the multi-frame ingest API (ops/sequence.py):
+    # bag replay ingests a window per dispatch, amortizing the per-call
+    # dispatch cost the row above pays on every frame
+    esdf_w = DenseESDF(max_submap_num=8, max_esdf_sweeps=8,
+                       esdf_raise_slack_voxels=0.5, **opts)
+    esdf_w.cfg = dataclasses.replace(esdf_w.cfg, esdf_converge_eps=2e-3)
+    esdf_w.set_dep_camera_intrinsic(K)
+    W = max(1, min(10, n))
+
+    def run_esdf_seq():
+        for i in range(0, n, W):
+            esdf_w.recast_depth_sequence(Rs[i:i + W], Ts[i:i + W],
+                                         depth[i:i + W])
+    t, _ = wall(run_esdf_seq, reps=1)
+    row("3 TSDF + incremental ESDF (windowed)", "fps", round(n / t, 1),
+        f"(window={W} frames/dispatch)")
 
     # ---- config 4: voxgraph-style submap mapping -----------------------------
     sm = SubmapMapping(DenseTSDF, keyframe_step=max(2, n // 4),

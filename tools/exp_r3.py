@@ -46,7 +46,7 @@ def main():
     spec = cfg.grid
     shape = (spec.max_blocks + 1, spec.voxels_per_block)
 
-    def make_run(esdf_cap, budget):
+    def make_run(esdf_cap, budget, cfg=cfg):
         def one_frame(carry, inputs):
             state, esdf, fixed, pending, seen_t, seen_o = carry
             depth, R, T = inputs
@@ -75,17 +75,19 @@ def main():
                     jnp.sum(esdf), jnp.max(ov))
         return run_all
 
-    state = tsdf_ops.make_tsdf_state(cfg)
-    rows = [(None, 0, "fusion only      "),
-            (256, 0, "budget0 cap256   "),
-            (256, 1, "budget1 cap256   "),
-            (256, 2, "budget2 cap256   "),
-            (256, 3, "budget3 cap256   "),
-            (128, 3, "budget3 cap128   "),
-            (64, 3, "budget3 cap64    "),
-            (256, 32, "budget32 cap256  ")]
-    for cap, budget, label in rows:
-        run = make_run(cap, budget)
+    f16 = dataclasses.replace(cfg, storage_dtype="float16")
+    allscan = dataclasses.replace(cfg, esdf_scan_sweeps=-1)
+    rows = [(cfg, None, 0, "fusion only      "),
+            (f16, None, 0, "fusion f16       "),
+            (cfg, 256, 0, "budget0 cap256   "),
+            (cfg, 256, 1, "budget1 cap256   "),
+            (cfg, 256, 3, "budget3 cap256   "),
+            (f16, 256, 3, "budget3 f16      "),
+            (cfg, 256, 32, "budget32 scan1   "),
+            (allscan, 256, 32, "budget32 allscan ")]
+    for c, cap, budget, label in rows:
+        run = make_run(cap, budget, cfg=c)
+        state = tsdf_ops.make_tsdf_state(c)
         s, ov = run(state, frames_j, Rs_j, Ts_j)
         float(s)
         best = 1e9

@@ -215,11 +215,10 @@ def main():
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
-    # drained mode runs the multi-hop scans EVERY sweep (esdf_scan_sweeps
-    # -1): convergence then takes ~2-3 scan sweeps instead of
-    # ~shadow-diameter class sweeps
-    drained_cfg = dataclasses.replace(esdf_cfg, esdf_scan_sweeps=-1)
-    ms_drained, _ = size_and_time(drained_cfg, esdf_cap=256, budget=32)
+    # (measured: scans-every-sweep (esdf_scan_sweeps=-1) is SLOWER here —
+    # the scene's residual wavefronts are short-range, so the extra scan
+    # cost outweighs the saved class sweeps; keep the default cadence)
+    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=32)
 
     def run_mc(k):
         @jax.jit

@@ -434,6 +434,44 @@ class DenseTSDF(BaseMap):
               f"active local: {submaps.active_submap_id} "
               f"remote: {submaps.remote_submap_num}")
 
+    def fuse_submaps_incremental(self, submaps: "DenseTSDF", submap_id: int):
+        """Splat ONE (newly finished) submap into this global map without
+        resetting it. Because the trilinear weighted merge is associative
+        (ops/fusion.py), fusing each submap exactly once incrementally
+        yields the same global map as the reference's reset + refuse-all —
+        until a PGO update moves base poses, when the caller must fall
+        back to the full :meth:`fuse_submaps`. Used by
+        ``SubmapMapping(incremental_fuse=True)``."""
+        import dataclasses
+        t = time.time()
+        need = int(submaps.state.num_blocks) + 1
+        bcap = 64
+        while bcap < need:
+            bcap *= 2
+        bcap = min(bcap, submaps.cfg.max_blocks)
+        touched_cap = getattr(self, "_fuse_touched_bucket",
+                              self.cfg.max_touched_blocks)
+        state0 = self.state
+        while True:
+            glob_cfg = dataclasses.replace(self.cfg,
+                                           max_touched_blocks=touched_cap)
+            self.state, stats = fusion_ops.fuse_submaps(
+                submaps.cfg, glob_cfg, bcap, state0,
+                submaps.state, jnp.asarray(self.submaps_base_R_np),
+                jnp.asarray(self.submaps_base_T_np),
+                only_submap=jnp.int32(submap_id))
+            tiles_over = int(stats.get("fuse_tiles_dropped", 0))
+            if tiles_over > 0 and touched_cap < self.cfg.max_blocks:
+                while touched_cap < (touched_cap + tiles_over) * 11 // 10:
+                    touched_cap *= 2
+                touched_cap = min(touched_cap, self.cfg.max_blocks)
+                continue
+            break
+        self._fuse_touched_bucket = touched_cap
+        self.last_stats = stats
+        print(f"[DenseTSDF] Fuse submap {submap_id} incrementally "
+              f"{(time.time()-t)*1000:.1f}ms")
+
     def reset(self):
         from taichislam_tpu.core.grid import reset_grid
         self.state = reset_grid(self.state)

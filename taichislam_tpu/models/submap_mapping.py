@@ -83,8 +83,17 @@ def _decode_traj_npz(data: bytes) -> dict:
 
 class SubmapMapping:
     def __init__(self, submap_type=DenseTSDF, keyframe_step=20, sub_opts={},
-                 global_opts={}, autosave_path=None, wire_format="npz"):
+                 global_opts={}, autosave_path=None, wire_format="npz",
+                 incremental_fuse=False):
         assert wire_format in ("npz", "pickle"), wire_format
+        # incremental local->global: splat only each newly finished submap
+        # into the (non-reset) global map; a PGO base-pose update marks the
+        # fusion dirty and forces the next fusion to the reference's full
+        # reset + refuse-all (dense_tsdf.py:309-318). Equivalence-tested in
+        # tests/test_submap.py. DenseTSDF only.
+        self.incremental_fuse = incremental_fuse and submap_type == DenseTSDF
+        self._fusion_dirty = False
+        self._active_in_global = False
         if submap_type == DenseTSDF:
             sdf_default_opts = {
                 "map_scale": [10, 10],
@@ -213,6 +222,9 @@ class SubmapMapping:
                 self.global_map.set_base_pose_submap(self.submaps[frame_id],
                                                      R, T)
                 used_poses[frame_id] = frame_poses[frame_id]
+                # already-fused submaps moved: the incremental global map
+                # is stale until the next FULL refuse
+                self._fusion_dirty = True
         if not from_remote:
             self.send_traj(used_poses)
 
@@ -236,11 +248,23 @@ class SubmapMapping:
     def _finalize_active_submap(self):
         """Ship the finished submap to peers, advance the collection to a
         fresh slot, and refresh the fused global map."""
+        finished_sid = self.submap_collection.get_active_submap_id()
         finished = self.submap_collection.export_submap()
         self.send_submap(finished)
         self.submap_collection.switch_to_next_submap()
         self.submap_collection.clear_last_TSDF_exporting = True
-        self.local_to_global()
+        if self.incremental_fuse and not self._fusion_dirty and \
+                not self._active_in_global:
+            self.global_map.fuse_submaps_incremental(self.submap_collection,
+                                                     finished_sid)
+            if self.post_local_to_global_callback is not None:
+                self.post_local_to_global_callback(self.global_map)
+        else:
+            # full reset + refuse-all; since the active slot is now fresh,
+            # the snapshot contains exactly the finished submaps
+            self.local_to_global()
+            self._fusion_dirty = False
+            self._active_in_global = False
 
     def create_new_submap(self, frame_id, R, T):
         if not self.first_init:
@@ -261,6 +285,10 @@ class SubmapMapping:
 
     def local_to_global(self):
         self.global_map.fuse_submaps(self.submap_collection)
+        # the fused snapshot may include the (partial) active submap; an
+        # incremental splat of that submap at its finalize would then
+        # double-count — record it so finalize falls back to a full refuse
+        self._active_in_global = True
         if self.post_local_to_global_callback is not None:
             self.post_local_to_global_callback(self.global_map)
 
@@ -425,7 +453,14 @@ class SubmapMapping:
         idx = self.submap_collection.input_remote_submap(submap)
         self.global_map.set_base_pose_submap(idx, submap["pose"][0],
                                              submap["pose"][1])
-        self.local_to_global()
+        if self.incremental_fuse and not self._fusion_dirty:
+            self.global_map.fuse_submaps_incremental(self.submap_collection,
+                                                     idx)
+            if self.post_local_to_global_callback is not None:
+                self.post_local_to_global_callback(self.global_map)
+        else:
+            self.local_to_global()
+            self._fusion_dirty = False
         self.submaps[submap["frame_id"]] = idx
 
     def input_remote_traj(self, buf):

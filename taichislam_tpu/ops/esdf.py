@@ -595,24 +595,21 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                                 seed))
     esdf0 = jnp.where(participate, esdf0, 0.0)
 
-    # neighbor slots in compact space. Only UPDATABLE rows need halos (rim
-    # rows are Dirichlet pass-throughs whose values feed others' halos but
-    # never read their own), so in dirty mode the dirty rows' probe is
-    # simply remapped and scattered — no second probe.
+    # neighbor slots in compact space, for ALL src rows: rim rows never
+    # read their own halos (they are Dirichlet pass-throughs), but the
+    # axis-sequential halo exchange (_assemble_sweep) delivers DIAGONAL
+    # values into updatable rows through their face-neighbor rows' shells,
+    # so rim-row halos must be populated too — with garbage halos there,
+    # boundary voxels lose their diagonal rim support and spuriously
+    # raise/re-queue every update.
     if ns_d is not None:
         tgtD = jnp.where(validD, jnp.take(inv, rows_d), block_cap)
-        nslots = jnp.full((NROWS, 3, 3, 3), block_cap, jnp.int32).at[
-            jnp.minimum(tgtD, NROWS - 1)].set(
-            jnp.where(validD[:, None, None, None], jnp.take(inv, ns_d),
-                      block_cap), mode="drop")
-        nslots = nslots.at[block_cap:].set(block_cap)
-    else:
-        nslots = jnp.take(inv, neighbor_slot_table(
-            spec, state, active_submap, rows=slot_of), axis=0)
-        nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
-        nslots = jnp.concatenate(
-            [nslots, jnp.full((NROWS - block_cap, 3, 3, 3), block_cap,
-                              jnp.int32)], axis=0)
+    nslots = jnp.take(inv, neighbor_slot_table(
+        spec, state, active_submap, rows=slot_of), axis=0)
+    nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
+    nslots = jnp.concatenate(
+        [nslots, jnp.full((NROWS - block_cap, 3, 3, 3), block_cap,
+                          jnp.int32)], axis=0)
 
     # rows holding frozen-rim blocks participate as sources but are never
     # updated (Dirichlet boundary of the working set)

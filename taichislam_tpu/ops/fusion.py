@@ -58,7 +58,7 @@ class SplatContribs(NamedTuple):
 
 def splat_contributions(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
                         max_fuse_blocks: int, sub_state: GridState,
-                        base_R, base_T) -> SplatContribs:
+                        base_R, base_T, only_submap=None) -> SplatContribs:
     """Two-level source selection + component arrays, both TPU-layout
     driven: (a) stacked (..., 3)/(..., 7) intermediates pad their minor dim
     to 128 lanes (the original (nb*V^3, 3) world-xyz array materialized
@@ -77,6 +77,12 @@ def splat_contributions(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
 
     obs_full = ch["TSDF_observed"] > 0                  # (nb, V^3)
     blk_ok = sub_state.block_active.at[-1].set(False)
+    if only_submap is not None:
+        # incremental mode: sources restricted to ONE submap (traced; the
+        # weighted merge is associative, so splatting submaps one at a
+        # time into a non-reset global equals reset + refuse-all)
+        blk_ok &= (only_submap < 0) | \
+            (sub_state.block_coords[:, 0] == only_submap)
     blk_has = blk_ok & jnp.any(obs_full, axis=1)
     total = jnp.sum((obs_full & blk_ok[:, None]).astype(jnp.int32))
 
@@ -243,10 +249,14 @@ def _use_pallas_fusion(glob_cfg: TSDFConfig) -> bool:
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
                  max_fuse_blocks: int, global_state: GridState,
-                 sub_state: GridState, base_R, base_T):
-    """Fuse ALL submaps (local + remote) into the global map. The caller
-    resets the global map first, as DenseTSDF.fuse_submaps does
-    (dense_tsdf.py:312-318). Returns (global_state, stats).
+                 sub_state: GridState, base_R, base_T, only_submap=None):
+    """Fuse ALL submaps (local + remote) into the global map — or, with
+    ``only_submap >= 0`` (traced), just that submap's blocks into the
+    EXISTING global map (incremental voxgraph mode: the weighted merge is
+    associative, so one-splat-per-finished-submap equals the reference's
+    reset + refuse-all, dense_tsdf.py:312-318, as long as base poses are
+    unchanged — a PGO update requires the full refuse). The caller resets
+    the global map first in full mode. Returns (global_state, stats).
 
     On TPU the splat accumulation runs through the Pallas sorted
     segmented-reduce kernel (one tile per touched global block) instead of
@@ -254,7 +264,7 @@ def fuse_submaps(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
     overflow so the caller can grow ``glob_cfg.max_touched_blocks`` and redo.
     """
     c = splat_contributions(sub_cfg, glob_cfg, max_fuse_blocks, sub_state,
-                            base_R, base_T)
+                            base_R, base_T, only_submap=only_submap)
     gspec = glob_cfg.grid
     tiles_dropped = jnp.int32(0)
 

@@ -152,3 +152,51 @@ def test_compat_shim_imports():
     from taichi_slam.utils.communication import SLAMComm as C2
     assert D2 is DenseTSDF
     assert S2 is SubmapMapping
+
+
+def test_incremental_fuse_matches_full():
+    """incremental_fuse=True (splat each finished submap once into the
+    non-reset global) must equal the reference's reset + refuse-all at
+    every keyframe boundary, and fall back to a full refuse after a PGO
+    base-pose update re-poses already-fused submaps."""
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+
+    def build(incremental):
+        sm = SubmapMapping(DenseTSDF, keyframe_step=2, sub_opts=SUB_OPTS,
+                           global_opts=GLOB_OPTS,
+                           incremental_fuse=incremental)
+        sm.set_dep_camera_intrinsic(K_DEP)
+        return sm
+
+    def global_dict(sm):
+        idx, tsdf, w, occ, _ = sm.global_map.to_numpy()
+        return {tuple(i): (t, ww) for i, t, ww in zip(idx, tsdf, w)}
+
+    def check_equal():
+        a, b = global_dict(sm_i), global_dict(sm_f)
+        assert a.keys() == b.keys()
+        for k in b:
+            np.testing.assert_allclose(a[k], b[k], atol=1e-4)
+
+    sm_i, sm_f = build(True), build(False)
+    for t in range(6):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        for sm in (sm_i, sm_f):
+            sm.recast_depth_to_map_by_frame(t, True, pose, ext,
+                                            depth_frame(t), None)
+    check_equal()
+
+    # PGO moves every keyframe pose: the incremental map is stale until
+    # the next keyframe's fusion, which must detect dirtiness and refuse
+    shifted = {fid: (eye, np.array([0.5, 0, 0], np.float32))
+               for fid in sm_f.submaps}
+    for sm in (sm_i, sm_f):
+        sm.set_frame_poses(shifted)
+    assert sm_i._fusion_dirty
+    for t in range(6, 8):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        for sm in (sm_i, sm_f):
+            sm.recast_depth_to_map_by_frame(t, True, pose, ext,
+                                            depth_frame(t), None)
+    check_equal()

@@ -53,6 +53,11 @@ def main():
             m2 = R[2, 0] * px + R[2, 1] * py + R[2, 2] * pz
             if stage == "pts":
                 return m0.sum() + m1.sum() + m2.sum()
+            if stage == "pixsort":
+                ops = (jnp.where(valid, jnp.int32(1), jnp.int32(0)),
+                       m0, m1, m2, dep)
+                srt0 = jax.lax.sort(ops, num_keys=1)
+                return srt0[1].sum() + srt0[4].sum()
             bins = tsdf_ops.bin_points_c(cfg, m0, m1, m2, dep, color, valid)
             if stage == "bins":
                 return (bins.count.sum() + bins.sum_pos.sum() +
@@ -76,10 +81,21 @@ def main():
             if stage == "march":
                 return (wf.sum() + wdf.sum() + bkey.sum().astype(jnp.float32)
                         + intra_k.sum().astype(jnp.float32))
-            srt = jax.lax.sort((bkey, intra_k, wf, wdf), num_keys=1)
-            srt = tuple(a[:cfg.max_march_lanes] for a in srt)
-            return (srt[2].sum() + srt[3].sum() +
-                    srt[0].sum().astype(jnp.float32))
+            if stage == "sort":
+                V3l = spec.voxels_per_block
+                pk = jnp.where(bkey < SENTINEL_BLOCK, bkey * V3l + intra_k,
+                               2 ** 30)
+                srt = jax.lax.sort((pk, wf, wdf), num_keys=1)
+                srt = tuple(a[:cfg.max_march_lanes] for a in srt)
+                return (srt[1].sum() + srt[2].sum() +
+                        srt[0].sum().astype(jnp.float32))
+            from taichislam_tpu.ops.pallas.seg_accum import \
+                segmented_block_reduce
+            touched_rel, acc, n_touched, ld = segmented_block_reduce(
+                bkey, intra_k, (wf, wdf), spec.voxels_per_block,
+                cfg.max_touched_blocks, lane_cap=cfg.max_march_lanes,
+                max_bkey=spec.blocks_per_submap)
+            return (acc.sum() + touched_rel.sum().astype(jnp.float32))
         return pre
 
     def make_run(stage):
@@ -112,7 +128,7 @@ def main():
         return run_all
 
     state = tsdf_ops.make_tsdf_state(cfg)
-    for stage in ("pts", "bins", "march", "sort", "full"):
+    for stage in ("pts", "pixsort", "bins", "sort", "accum", "full"):
         run = make_run(stage)
         s = run(state, frames_j, Rs_j, Ts_j)
         float(s)

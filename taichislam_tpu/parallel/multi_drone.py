@@ -79,3 +79,118 @@ def multi_drone_step(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
         out_specs=(dstate_spec, rep),
         check_vma=False)
     return jax.jit(fn)
+
+
+# ---------------------------------------------------------------------------
+# lifecycle-composed SPMD step (the in-graph SubmapMapping)
+# ---------------------------------------------------------------------------
+
+def make_lifecycle_states(sub_cfg: TSDFConfig, n_drones: int):
+    """Per-drone lifecycle state, leading drone axis: submap-collection
+    grid state + active submap id + frame count + per-drone base-pose
+    registry (the host SubmapMapping keeps these in Python,
+    submap_mapping.py:126-169; here they are device arrays so keyframe
+    switching runs inside the jitted step)."""
+    S = sub_cfg.max_submap_num
+    return dict(
+        state=make_drone_states(sub_cfg, n_drones),
+        active=jnp.zeros((n_drones,), jnp.int32),
+        fcount=jnp.zeros((n_drones,), jnp.int32),
+        base_R=jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32),
+                                (n_drones, S, 3, 3)),
+        base_T=jnp.zeros((n_drones, S, 3), jnp.float32),
+    )
+
+
+def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
+                               mesh: Mesh, axis: str = "drone"):
+    """Build the jitted SPMD frame step WITH the submap lifecycle
+    in-graph — the device analog of
+    ``SubmapMapping.recast_depth_to_map_by_frame`` (submap_mapping.py:
+    126-193): per-drone keyframe policy (new submap on frame 0 and every
+    ``keyframe_step``-th keyframe), per-drone base-pose registration of
+    the new submap at the current (PGO-corrected) world pose,
+    world->submap pose conversion (``convert_by_base``), and integration
+    into the active submap slot.
+
+    Signature: (life, depth, R, T, is_keyframe, K) -> life, where
+    ``life`` is the dict from :func:`make_lifecycle_states` (sharded on
+    the drone axis) and depth/R/T/is_keyframe carry a leading drone axis.
+    Global fusion is separate (:func:`multi_drone_fuse`) so it can run at
+    keyframe cadence like the host orchestrator, not every frame.
+    """
+    S = sub_cfg.max_submap_num
+
+    def local_step(life, depth, R, T, kf, K):
+        st = jax.tree_util.tree_map(lambda x: x[0], life["state"])
+        act = life["active"][0]
+        fcnt = life["fcount"][0]
+        bR = life["base_R"][0]
+        bT = life["base_T"][0]
+        R0, T0 = R[0], T[0]
+
+        # need_create_new_submap (submap_mapping.py:148-155)
+        new = (fcnt == 0) | (kf[0] & (fcnt % keyframe_step == 0))
+        act1 = jnp.minimum(jnp.where(new & (fcnt > 0), act + 1, act), S - 1)
+        tgt = jnp.where(new, act1, S)          # S drops (mode="drop")
+        bR = bR.at[tgt].set(R0, mode="drop")
+        bT = bT.at[tgt].set(T0, mode="drop")
+
+        # set_pose: world -> active-submap frame (mapping_common.py:91-100)
+        baR, baT = bR[act1], bT[act1]
+        R_in = baR.T @ R0
+        T_in = baR.T @ (T0 - baT)
+        st, _ = tsdf_ops.integrate_depth(
+            sub_cfg, st, depth[0], jnp.zeros((1, 1, 3), jnp.uint8),
+            R_in, T_in, K, K, act1)
+
+        return dict(
+            state=jax.tree_util.tree_map(lambda x: x[None], st),
+            active=act1[None], fcount=(fcnt + 1)[None],
+            base_R=bR[None], base_T=bT[None])
+
+    sh = P(axis)
+    fn = shard_map(
+        local_step, mesh=mesh,
+        in_specs=({"state": sh, "active": sh, "fcount": sh,
+                   "base_R": sh, "base_T": sh}, sh, sh, sh, sh, P()),
+        out_specs={"state": sh, "active": sh, "fcount": sh,
+                   "base_R": sh, "base_T": sh},
+        check_vma=False)
+    return jax.jit(fn)
+
+
+def multi_drone_fuse(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
+                     max_fuse_blocks: int, mesh: Mesh, axis: str = "drone"):
+    """Build the jitted all-drone global fusion: every device splats its
+    own collection through its OWN base-pose registry, the touched bitmap
+    and dense accumulators psum over the drone axis, and every device
+    derives the identical replicated global map — the collective analog
+    of N sequential ``fuse_submaps`` calls (associative weighted merge).
+    Signature: (life, gstate) -> gstate."""
+
+    def local_fuse(life, gstate):
+        st = jax.tree_util.tree_map(lambda x: x[0], life["state"])
+        c = fusion_ops.splat_contributions(
+            sub_cfg, glob_cfg, max_fuse_blocks, st,
+            life["base_R"][0], life["base_T"][0])
+        touched = fusion_ops.accumulate_dense(glob_cfg, gstate, c)
+        touched = jax.lax.psum(touched.astype(jnp.int32), axis) > 0
+        gstate = allocate_from_touched(glob_cfg.grid, gstate, touched,
+                                       jnp.int32(0))
+        w, wd, occ, wc = fusion_ops.scatter_accumulators(glob_cfg, gstate, c)
+        w = jax.lax.psum(w, axis)
+        wd = jax.lax.psum(wd, axis)
+        occ = jax.lax.psum(occ, axis)
+        wc = jax.lax.psum(wc, axis)
+        return fusion_ops.combine_accumulators(glob_cfg, gstate, w, wd, occ,
+                                               wc)
+
+    sh = P(axis)
+    fn = shard_map(
+        local_fuse, mesh=mesh,
+        in_specs=({"state": sh, "active": sh, "fcount": sh,
+                   "base_R": sh, "base_T": sh}, P()),
+        out_specs=P(),
+        check_vma=False)
+    return jax.jit(fn)

@@ -221,3 +221,104 @@ def test_gather_surface_blocks_export_and_mesh():
     np.testing.assert_allclose(
         np.sort(np.asarray(mg["vertices"])[:nt_g * 3], axis=0),
         np.sort(np.asarray(mr["vertices"])[:nt_r * 3], axis=0), atol=1e-5)
+
+
+def test_lifecycle_step_matches_host_submap_mapping():
+    """The in-graph submap lifecycle (multi_drone_lifecycle_step: keyframe
+    switching, per-drone base-pose registries, world->submap conversion)
+    must reproduce N independent host SubmapMapping runs exactly, and the
+    psum'd all-drone fusion must equal sequentially splatting each host
+    collection into one global map (reference lifecycle:
+    submap_mapping.py:126-193)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from taichislam_tpu.models.dense_tsdf import DenseTSDF
+    from taichislam_tpu.models.submap_mapping import SubmapMapping
+    from taichislam_tpu.parallel.multi_drone import (
+        make_lifecycle_states, multi_drone_fuse, multi_drone_lifecycle_step)
+
+    n, F, kstep = 8, 5, 2
+    mesh = make_mesh(n, "drone")
+    rng = np.random.default_rng(3)
+    depths = rng.integers(500, 1300, size=(F, n, 24, 32)).astype(np.uint16)
+    # distinct per-frame poses: drones translate and yaw slightly
+    Rs = np.zeros((F, n, 3, 3), np.float32)
+    Ts = np.zeros((F, n, 3), np.float32)
+    for f in range(F):
+        for d in range(n):
+            a = 0.05 * f + 0.02 * d
+            Rs[f, d] = [[np.cos(a), -np.sin(a), 0],
+                        [np.sin(a), np.cos(a), 0], [0, 0, 1]]
+            Ts[f, d] = [0.1 * f, 0.05 * d, 0.0]
+    kf = np.ones((F, n), bool)
+
+    life = make_lifecycle_states(SUB_CFG, n)
+    sh = NamedSharding(mesh, P("drone"))
+    life = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), life)
+    step = multi_drone_lifecycle_step(SUB_CFG, kstep, mesh)
+    for f in range(F):
+        life = step(life, jnp.asarray(depths[f]), jnp.asarray(Rs[f]),
+                    jnp.asarray(Ts[f]), jnp.asarray(kf[f]), K)
+
+    # host mirror: N independent SubmapMapping runs with the same frames
+    opts = dict(map_scale=[3.2, 3.2], voxel_scale=0.1,
+                num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                min_ray_length=0.3, recast_step=2, max_blocks=64,
+                max_bins=1024, max_submap_num=4)
+    gopts = dict(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                 num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                 max_blocks=128, max_submap_num=4, is_global_map=True)
+    eye_ext = (np.eye(3, dtype=np.float32), np.zeros(3, np.float32))
+    sms = []
+    for d in range(n):
+        sm = SubmapMapping(DenseTSDF, keyframe_step=kstep, sub_opts=opts,
+                           global_opts=gopts)
+        sm.set_dep_camera_intrinsic(np.asarray(K))
+        for f in range(F):
+            sm.recast_depth_to_map_by_frame(
+                f, True, (Rs[f, d], Ts[f, d]), eye_ext, depths[f, d], None)
+        sms.append(sm)
+
+    # per-drone lifecycle state equality
+    active = np.asarray(life["active"])
+    for d, sm in enumerate(sms):
+        assert active[d] == sm.submap_collection.active_submap_id
+        for sid in range(active[d] + 1):
+            np.testing.assert_allclose(
+                np.asarray(life["base_R"])[d, sid],
+                sm.submap_collection.submaps_base_R_np[sid], atol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(life["base_T"])[d, sid],
+                sm.submap_collection.submaps_base_T_np[sid], atol=1e-6)
+
+    # per-drone map equality: compare channel sums per submap via to_numpy
+    for d, sm in enumerate(sms):
+        st_d = jax.tree_util.tree_map(lambda x: np.asarray(x)[d],
+                                      life["state"])
+        host = np.asarray(sm.submap_collection.state.channels["TSDF"],
+                          np.float32)
+        dev = np.asarray(st_d.channels["TSDF"], np.float32)
+        # same active voxel content (slot order may differ; compare sums
+        # and counts which are permutation-invariant)
+        np.testing.assert_allclose(dev.sum(), host.sum(), rtol=1e-4)
+        nb_host = int(sm.submap_collection.state.num_blocks)
+        assert int(st_d.num_blocks) == nb_host
+
+    # all-drone global fusion == sequentially splatting each host
+    # collection (associative merge) through its registries
+    gstate = tsdf_ops.make_tsdf_state(GLOB_CFG)
+    fuse = multi_drone_fuse(SUB_CFG, GLOB_CFG, 64, mesh)
+    gdev = fuse(life, gstate)
+    gref = tsdf_ops.make_tsdf_state(GLOB_CFG)
+    for sm in sms:
+        gref, _ = fusion_ops.fuse_submaps(
+            SUB_CFG, GLOB_CFG, 64, gref, sm.submap_collection.state,
+            jnp.asarray(sm.global_map.submaps_base_R_np, jnp.float32),
+            jnp.asarray(sm.global_map.submaps_base_T_np, jnp.float32))
+    got = np.asarray(gdev.channels["TSDF"], np.float32)
+    want = np.asarray(gref.channels["TSDF"], np.float32)
+    np.testing.assert_allclose(got.sum(), want.sum(), rtol=1e-4)
+    assert int(gdev.num_blocks) == int(gref.num_blocks)
+    obs_got = np.asarray(gdev.channels["TSDF_observed"]).sum()
+    obs_want = np.asarray(gref.channels["TSDF_observed"]).sum()
+    assert obs_got == obs_want

@@ -90,6 +90,30 @@ def convert_by_base(base_R, base_T, R, T):
     return R_, T_
 
 
+def strided_depth_f32(depth_mm, step: int):
+    """Depth image decimated by ``step`` in both axes, as flat f32 mm.
+
+    A plain ``depth[::2, ::2]`` lowers to a per-element gather on TPU
+    (measured 0.81 ms/frame at 640x480 — ~10 ns/element, the whole cost
+    of the unprojection stage). For the common step=2/uint16 case the
+    even columns are extracted WITHOUT a gather: bitcast adjacent u16
+    pairs to u32 (little-endian low half = even column, a vectorized
+    elementwise op) and drop odd rows with a contiguous unit-stride
+    slice. Other steps/dtypes fall back to the strided slice.
+    """
+    import jax
+
+    h, w = depth_mm.shape
+    if step == 2 and h % 2 == 0 and w % 2 == 0 and \
+            depth_mm.dtype == jnp.uint16:
+        v = jax.lax.bitcast_convert_type(
+            depth_mm.reshape(h, w // 2, 2), jnp.uint32)
+        v = v.reshape(h // 2, 2, w // 2)[:, 0, :]
+        return (v & jnp.uint32(0xFFFF)).astype(jnp.float32).reshape(-1)
+    return depth_mm[:(h // step) * step:step,
+                    :(w // step) * step:step].reshape(-1).astype(jnp.float32)
+
+
 def pixel_grid(h, w, step):
     """Strided pixel coordinate grids (rows j, cols i) like the reference's
     recast loops (dense_tsdf.py:188-195): rows 0, step, 2*step, ...

@@ -55,6 +55,9 @@ class DenseESDF(DenseTSDF):
         self._esdf_last_cap = (64, 64)
         self._esdf_pack = None
         self._esdf_dirty_union = None
+        # dirty-window mode sizing (grown via verdict span stats)
+        self._esdf_win_dims = (4, 4, 4)
+        self._esdf_win_ok = True
         spec = self.cfg.grid
         shape = (spec.max_blocks + 1, spec.voxels_per_block)
         # updated-voxel gating snapshots (ops/esdf.py esdf_seed_dirty)
@@ -174,6 +177,14 @@ class DenseESDF(DenseTSDF):
             return None
         return dims
 
+    @staticmethod
+    def _win_bucket(n):
+        """Window-dimension bucket (blocks): ~1.5x steps bound recompiles."""
+        for b in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
+            if n <= b:
+                return b
+        return int(n)
+
     def _esdf_host_refresh(self):
         """Refresh the cached host-side mode/capacity info (1 round-trip)."""
         info = np.asarray(self._window_info_dev())
@@ -225,7 +236,32 @@ class DenseESDF(DenseTSDF):
             self._esdf_host_refresh()
         dims = self._esdf_dims_cached
 
-        if dims is not None:
+        spans = jnp.zeros((3,), jnp.int32)
+        if dirty is not None and self._esdf_win_ok and \
+                self.esdf_dense_max_voxels:
+            # dirty-window dense mode (ops/esdf.py esdf_update_dense with
+            # dirty_blocks): full-window scans every sweep converge the
+            # working set in ~2-3 sweeps — no halo assembly, no neighbor
+            # probes. Window dims bucket from the dirty bbox (grown via
+            # the span stats in the verdict pack).
+            self._esdf_last_mode = "window"
+            wdims = self._esdf_win_dims
+            (self.esdf, self.esdf_fixed, self.esdf_observed, sweeps,
+             changed, overflow) = esdf_ops.esdf_update_dense(
+                self.cfg, self.max_esdf_sweeps, wdims, self.state,
+                self.esdf, self.esdf_fixed,
+                jnp.int32(self.active_submap_id), dirty_blocks=dirty)
+            c4 = self.state.block_coords
+            anchor = (dirty & self.state.block_active &
+                      (c4[:, 0] == jnp.int32(self.active_submap_id)))
+            anchor = anchor.at[-1].set(False)
+            huge = jnp.int32(1 << 20)
+            mins = jnp.min(jnp.where(anchor[:, None], c4[:, 1:4], huge),
+                           axis=0)
+            maxs = jnp.max(jnp.where(anchor[:, None], c4[:, 1:4], -huge),
+                           axis=0)
+            spans = jnp.maximum(maxs - mins + 1, 0)
+        elif dims is not None:
             # dense-window mode: the observed bounding box fits a modest
             # dense grid — sweep it directly (full-length axis scans, no
             # halo assembly)
@@ -252,21 +288,22 @@ class DenseESDF(DenseTSDF):
                 self.esdf, self.esdf_fixed,
                 jnp.int32(self.active_submap_id), dirty)
         self._esdf_pending = changed
-        pack = jnp.stack([
+        pack = jnp.concatenate([jnp.stack([
             jnp.asarray(sweeps, jnp.int32),
             jnp.asarray(overflow, jnp.int32),
             (jnp.sum(dirty.astype(jnp.int32)) if dirty is not None
-             else jnp.int32(-1))])
+             else jnp.int32(-1))]), spans])
         if self._esdf_pack is None:
             self._esdf_pack = pack
         else:
             # accumulate across the check interval (device-side): overflow
-            # is a running max so a TRANSIENT mid-interval overflow still
-            # reaches the verdict — with only the boundary frame's stats, a
-            # mid-interval drop whose blocks stop changing afterwards would
-            # never re-queue and leave permanently stale ESDF
-            self._esdf_pack = jnp.stack([
-                pack[0], jnp.maximum(self._esdf_pack[1], pack[1]), pack[2]])
+            # and the window spans are running maxima so a TRANSIENT
+            # mid-interval overflow still reaches the verdict — with only
+            # the boundary frame's stats, a mid-interval drop whose blocks
+            # stop changing afterwards would never re-queue and leave
+            # permanently stale ESDF
+            self._esdf_pack = jnp.concatenate([
+                pack[:1], jnp.maximum(self._esdf_pack[1:], pack[1:])])
         # device-side union of dirty sets since the last verdict: on a
         # late-detected overflow the dropped blocks' dirtiness re-queues
         # from here (bounded staleness <= check interval frames)
@@ -283,15 +320,29 @@ class DenseESDF(DenseTSDF):
         re-queue the dirty union, and redo immediately in interactive
         mode (when the capacity actually grew — same semantics as the old
         inline grow-and-redo loop)."""
-        sweeps, overflow, ndirty = (int(x) for x in
-                                    np.asarray(self._esdf_pack))
+        sweeps, overflow, ndirty, sx, sy, sz = (
+            int(x) for x in np.asarray(self._esdf_pack))
         self._esdf_pack = None
         self.last_esdf_sweeps = sweeps
         if ndirty >= 0:
             self.last_esdf_dirty = ndirty
         if overflow > 0:
             grew = False
-            if self._esdf_last_mode == "dense":
+            if self._esdf_last_mode == "window":
+                # grow the dirty-window bucket to the observed span + the
+                # one-block ring on each side; fall back to block mode if
+                # the bucketed window would exceed the dense-mode budget
+                want = tuple(self._win_bucket(s + 2) for s in (sx, sy, sz))
+                V3 = self.cfg.grid.voxels_per_block
+                if want[0] * want[1] * want[2] * V3 > \
+                        self.esdf_dense_max_voxels:
+                    self._esdf_win_ok = False
+                    grew = True
+                elif want != self._esdf_win_dims:
+                    self._esdf_win_dims = tuple(
+                        max(a, b) for a, b in zip(want, self._esdf_win_dims))
+                    grew = True
+            elif self._esdf_last_mode == "dense":
                 # dense window undersized (stale bbox): refresh from the
                 # current bbox; a fresh window that still overflows falls
                 # back to block mode on the next call

@@ -898,7 +898,8 @@ def _dense_scan_candidates(h, brk, v1, big):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
-                      prev_esdf, prev_fixed, active_submap):
+                      prev_esdf, prev_fixed, active_submap,
+                      dirty_blocks=None):
     """Dense-window variant of :func:`esdf_update` (same returns).
 
     ``dims_blocks`` is the static (DBX, DBY, DBZ) window size in blocks; the
@@ -909,6 +910,16 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
     scans run EVERY sweep here (they are as cheap as a class sweep on the
     dense grid) and span the whole window, so exploration wedges and
     receding surfaces re-converge in a few sweeps.
+
+    With ``dirty_blocks`` (per-slot bool bitmap) the window covers the
+    DIRTY blocks' bounding box plus a one-block ring; in-window non-dirty
+    blocks participate as FROZEN Dirichlet sources (like the block mode's
+    rim), and only dirty blocks update. Because the full-window axis scans
+    run every sweep, a dirty working set converges in ~2-3 sweeps — the
+    fast path for DRAINED per-frame updates, where the block-halo mode
+    needs ~working-set-diameter sweeps (cross-block information moves one
+    halo per sweep). Out-of-window wavefronts re-queue via the returned
+    ``changed_blocks`` exactly like the block mode.
     """
     spec = cfg.grid
     V = spec.V
@@ -931,15 +942,27 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
     blk = blk.at[-1].set(False)
 
     huge = jnp.int32(1 << 20)
-    bx0 = jnp.min(jnp.where(blk, c4[:, 1], huge))
-    by0 = jnp.min(jnp.where(blk, c4[:, 2], huge))
-    bz0 = jnp.min(jnp.where(blk, c4[:, 3], huge))
+    if dirty_blocks is None:
+        anchor = blk
+        ring = 0
+    else:
+        anchor = blk & dirty_blocks.at[-1].set(False)
+        ring = 1          # one-block Dirichlet rim around the dirty bbox
+    bx0 = jnp.min(jnp.where(anchor, c4[:, 1], huge)) - ring
+    by0 = jnp.min(jnp.where(anchor, c4[:, 2], huge)) - ring
+    bz0 = jnp.min(jnp.where(anchor, c4[:, 3], huge)) - ring
     dbi = c4[:, 1] - bx0
     dbj = c4[:, 2] - by0
     dbk = c4[:, 3] - bz0
     in_win = blk & (dbi >= 0) & (dbi < DBX) & (dbj >= 0) & (dbj < DBY) & \
         (dbk >= 0) & (dbk < DBZ)
-    overflow = jnp.sum((blk & ~in_win).astype(jnp.int32))
+    # every ANCHOR block must sit with its full ring inside the window (a
+    # dirty block whose allocated neighbor falls outside would lose that
+    # Dirichlet support and spuriously raise); non-anchor active blocks
+    # outside are fine (frozen anyway, their values pass through)
+    in_core = (dbi >= ring) & (dbi < DBX - ring) & (dbj >= ring) & \
+        (dbj < DBY - ring) & (dbk >= ring) & (dbk < DBZ - ring)
+    overflow = jnp.sum((anchor & ~in_core).astype(jnp.int32))
     dlin = (dbi * DBY + dbj) * DBZ + dbk
     dlin = jnp.where(in_win, dlin, NBD)          # out-of-window -> dropped
 
@@ -978,6 +1001,15 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
     neg_side = participate & ~fixed & (tsdf < 0)
     pos_src = participate & (fixed | (tsdf >= gamma))
     neg_src = participate & (fixed | (tsdf <= -gamma))
+    if dirty_blocks is not None:
+        # freeze non-dirty in-window blocks (Dirichlet rim): they source
+        # but never update. Window-block bool grid upscaled to voxels.
+        wb = jnp.zeros((NBD + 1,), bool).at[dlin].set(anchor, mode="drop")
+        upd = jnp.broadcast_to(
+            wb[:NBD].reshape(DBX, DBY, DBZ)[:, None, :, None, :, None],
+            (DBX, V, DBY, V, DBZ, V)).reshape(X, Y, Z)
+        pos_side &= upd
+        neg_side &= upd
 
     def body(carry):
         esdf, _, it = carry
@@ -1015,15 +1047,43 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
 
     participate_full = (state.channels["TSDF_observed"] > 0) & blk[:, None]
     keep = in_win[:, None] & part_rows
+    if dirty_blocks is not None:
+        keep &= anchor[:, None]        # frozen rim rows pass through
     esdf_out = jnp.where(keep, esdf_rows,
                          jnp.where(participate_full, prev_esdf, 0.0))
     fixed_out = jnp.where(keep, fixed_rows,
                           jnp.where(participate_full, prev_fixed,
                                     0).astype(jnp.int8))
-    row_changed = jnp.any(
-        keep & ((jnp.abs(esdf_rows - prev_esdf) > cfg.esdf_converge_eps) |
-                (fixed_rows != prev_fixed)), axis=1)
+    rowdiff = keep & (
+        (jnp.abs(esdf_rows - prev_esdf) > cfg.esdf_converge_eps) |
+        (fixed_rows != prev_fixed))
+    row_changed = jnp.any(rowdiff, axis=1)
     changed_blocks = row_changed.at[-1].set(False)
+    if dirty_blocks is not None:
+        # boundary-shell re-queue, like the block mode: a dirty block whose
+        # SHELL voxels changed wakes its 26-neighborhood next frame (the
+        # shell is the neighbors' Dirichlet support). Dilation runs on the
+        # dense window-block grid (6 shifted ORs), then maps back to slots.
+        shell = jnp.asarray(_shell_mask_np(V))
+        shell_row = jnp.any(rowdiff & shell[None, :], axis=1)
+        wchg = jnp.zeros((NBD + 1,), bool).at[dlin].set(
+            shell_row, mode="drop")[:NBD].reshape(DBX, DBY, DBZ)
+
+        def dil(a, axis):
+            lo = jnp.concatenate(
+                [jax.lax.slice_in_dim(a, 1, a.shape[axis], axis=axis),
+                 jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis))],
+                axis=axis)
+            hi = jnp.concatenate(
+                [jnp.zeros_like(jax.lax.slice_in_dim(a, 0, 1, axis=axis)),
+                 jax.lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)],
+                axis=axis)
+            return a | lo | hi
+        for ax in range(3):
+            wchg = dil(wchg, ax)
+        wake = jnp.take(wchg.reshape(-1),
+                        jnp.minimum(dlin, NBD - 1)) & in_win
+        changed_blocks = (changed_blocks | (blk & wake)).at[-1].set(False)
     return esdf_out, fixed_out, participate_full, sweeps, changed_blocks, \
         overflow
 

@@ -90,10 +90,8 @@ def integrate_depth(cfg: OctomapConfig, state: GridState, depth_mm, texture,
     step = cfg.recast_step
     jj, ii = geometry.pixel_grid(h, w, step)
     jj, ii = jj.reshape(-1), ii.reshape(-1)
-    # strided slicing instead of a gather (per-element gathers cost
-    # ~7 ns/element on TPU; same treatment as ops/tsdf.py depth_to_points)
-    d_mm = depth_mm[:(h // step) * step:step,
-                    :(w // step) * step:step].reshape(-1).astype(jnp.float32)
+    # gather-free decimation (see geometry.strided_depth_f32)
+    d_mm = geometry.strided_depth_f32(depth_mm, step)
     valid = (d_mm != 0) & (d_mm <= cfg.max_ray_length * 1000.0) & (
         d_mm >= cfg.min_ray_length * 1000.0)
     dep = d_mm / 1000.0

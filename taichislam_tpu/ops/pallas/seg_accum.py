@@ -143,7 +143,8 @@ def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
 def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
                            rows: int = 16, interpret: bool = False,
                            lane_cap: int | None = None,
-                           max_bkey: int | None = None):
+                           max_bkey: int | None = None,
+                           presorted: bool = False):
     """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:
@@ -176,8 +177,14 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
         intra = jnp.pad(intra, (0, pad))
         vals = tuple(jnp.pad(v, (0, pad)) for v in vals)
     N = bkey.shape[0]
-    packed = max_bkey is not None and max_bkey * V3 < SENTINEL_KEY
-    if packed:
+    packed = (not presorted and
+              max_bkey is not None and max_bkey * V3 < SENTINEL_KEY)
+    if presorted:
+        # caller guarantees lanes already ordered by (bkey, intra) with
+        # invalid lanes (bkey == SENTINEL_BLOCK) last — e.g. the binning
+        # path, whose rank keys are nondecreasing by construction
+        srt = (bkey, intra) + tuple(vals)
+    elif packed:
         pk = jnp.where(bkey < SENTINEL_BLOCK, bkey * V3 + intra,
                        SENTINEL_KEY)
         srt = jax.lax.sort((pk,) + tuple(vals), num_keys=1)

@@ -465,3 +465,46 @@ def test_esdf_budget_staleness_adversarial():
     err = np.abs(np.where(part, np.asarray(m.esdf) - exact, 0.0)).max()
     slack_bound = 5 * 0.5 * m.cfg.voxel_scale
     assert err < slack_bound, f"drained staleness {err} m"
+
+
+def test_esdf_window_mode_matches_block():
+    """Dirty-window dense mode (esdf_update_dense with dirty_blocks): the
+    full-window scans must reach the same fixed point as the block-halo
+    mode, in ~2-3 sweeps, with the one-block frozen ring as Dirichlet
+    support."""
+    import jax.numpy as jnp
+
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = _make_wall_map(slack=0.0)
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
+    zeros_e = jnp.zeros(shape, jnp.float32)
+    zeros_f = jnp.zeros(shape, jnp.int8)
+
+    ref_e, ref_f, part, _, _, ov0 = esdf_ops.esdf_update(
+        m.cfg, 256, 512, m.state, zeros_e, zeros_f, jnp.int32(0))
+    assert int(ov0) == 0
+
+    dirty = m.state.block_active.at[-1].set(False)
+    win_e, win_f, _, sweeps, changed, ov = esdf_ops.esdf_update_dense(
+        m.cfg, 64, (8, 8, 8), m.state, zeros_e, zeros_f, jnp.int32(0),
+        dirty_blocks=dirty)
+    assert int(ov) == 0, int(ov)
+    assert 0 < int(sweeps) <= 8, int(sweeps)
+    p = np.asarray(part)
+    err = np.abs(np.where(p, np.asarray(win_e) - np.asarray(ref_e),
+                          0.0)).max()
+    assert err < 2e-4, f"window vs block fixed point max err {err}"
+    np.testing.assert_array_equal(
+        np.where(p, np.asarray(win_f), 0), np.where(p, np.asarray(ref_f), 0))
+
+    # incremental re-run on the converged field with a SUBSET dirty set
+    # must keep the fixed point and wake nobody outside it spuriously
+    sub_dirty = dirty & (np.arange(shape[0]) % 2 == 0)
+    e2, f2, _, _, changed2, ov2 = esdf_ops.esdf_update_dense(
+        m.cfg, 64, (8, 8, 8), m.state, win_e, win_f, jnp.int32(0),
+        dirty_blocks=jnp.asarray(sub_dirty))
+    assert int(ov2) == 0
+    err2 = np.abs(np.where(p, np.asarray(e2) - np.asarray(ref_e), 0.0)).max()
+    assert err2 < 2e-4
+    assert not bool(np.any(np.asarray(changed2)))

@@ -84,20 +84,18 @@ def main():
         lat.append(time.perf_counter() - t0)
     lat = min(lat)
 
-    def win_bucket(n):
-        for b in (2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64):
-            if n <= b:
-                return b
-        return int(n)
-
-    def make_run(cfg, wdims=None, budget=6):
+    def make_run(cfg, esdf_cap=None, budget=6):
         """Scan all frames: integrate + per-frame incremental ESDF in the
-        dirty-window mode (ops/esdf.py: esdf_seed_dirty -> updated-voxel
-        gated working set -> esdf_update_dense over the dirty bbox window,
-        full-window scans every sweep, residual wavefronts re-queued into
-        the next frame via the pending bitmap — voxblox's amortized queue
-        behavior). ``wdims`` is the static window size in blocks (sized by
-        the grow loop from the returned span maxima); None disables ESDF."""
+        block-incremental mode (ops/esdf.py: esdf_seed_dirty ->
+        updated-voxel gated working set -> esdf_update over the compacted
+        dirty blocks + frozen rim, budget-bounded sweeps, residual
+        wavefronts re-queued into the next frame via the pending bitmap —
+        voxblox's amortized queue behavior). The dirty-WINDOW mode
+        (esdf_update_dense + dirty_blocks) was measured SLOWER here: the
+        static window must be sized to the worst frame's dirty bbox, and
+        the cold-start frames cover the whole room, so every frame pays a
+        full-map window (34 fps vs 176). It remains the model layer's
+        fast path for compact working sets. esdf_cap=None disables ESDF."""
         spec = cfg.grid
         shape = (spec.max_blocks + 1, spec.voxels_per_block)
 
@@ -106,30 +104,20 @@ def main():
             depth, R, T = inputs
             state, stats = tsdf_ops.integrate_depth(
                 cfg, state, depth, texture, R, T, K, K, jnp.int32(0))
-            if wdims:
+            if esdf_cap:
                 dirty, seen_t, seen_o = esdf_ops.esdf_seed_dirty(
                     cfg, state, seen_t, seen_o, stats["touched_blocks"])
                 dirty = dirty | pending
-                esdf, fixed, _, _, pending, ov = esdf_ops.esdf_update_dense(
-                    cfg, budget, wdims, state, esdf, fixed,
-                    jnp.int32(0), dirty_blocks=dirty)
-                c4 = state.block_coords
-                anchor = (dirty & state.block_active &
-                          (c4[:, 0] == 0)).at[-1].set(False)
-                huge = jnp.int32(1 << 20)
-                mins = jnp.min(jnp.where(anchor[:, None], c4[:, 1:4], huge),
-                               axis=0)
-                maxs = jnp.max(jnp.where(anchor[:, None], c4[:, 1:4],
-                                         -huge), axis=0)
-                span = jnp.maximum(maxs - mins + 1, 0)
+                esdf, fixed, _, _, pending, ov = esdf_ops.esdf_update(
+                    cfg, budget, esdf_cap, state, esdf, fixed,
+                    jnp.int32(0), dirty)
             else:
                 ov = jnp.int32(0)
-                span = jnp.zeros((3,), jnp.int32)
             drop_fuse = (stats["alloc_overflow"] + stats["touched_dropped"]
                          + stats["lanes_dropped"])
             total_bins = stats["num_bins"] + stats["bins_dropped"]
             return (state, esdf, fixed, pending, seen_t, seen_o), \
-                (drop_fuse, ov, total_bins, stats["live_lanes"], span)
+                (drop_fuse, ov, total_bins, stats["live_lanes"])
 
         @jax.jit
         def run_all(state, frames, Rs, Ts):
@@ -139,21 +127,21 @@ def main():
             seen_t0 = jnp.zeros(shape, jnp.float32)
             seen_o0 = jnp.zeros(shape, bool)
             carry0 = (state, esdf0, fixed0, pend0, seen_t0, seen_o0)
-            (state, esdf, *_), (drop_fuse, ov, total_bins, live, span) = \
+            (state, esdf, *_), (drop_fuse, ov, total_bins, live) = \
                 jax.lax.scan(one_frame, carry0, (frames, Rs, Ts))
             # scalar readback closes the timing; drop stats guard honesty
             return (jnp.sum(state.channels["TSDF"].astype(jnp.float32)) +
                     jnp.sum(esdf),
                     jnp.max(drop_fuse), jnp.max(ov), jnp.max(total_bins),
-                    jnp.max(live), jnp.max(span, axis=0))
+                    jnp.max(live))
         return run_all
 
-    def size_and_time(cfg, wdims=None, budget=6):
+    def size_and_time(cfg, esdf_cap=None, budget=6):
         """Grow capacities until zero drops, then time. Returns
         (ms_per_frame, cfg)."""
         state = tsdf_ops.make_tsdf_state(cfg)
-        run_all = make_run(cfg, wdims, budget)
-        s0, dropped, esdf_ov, max_bins, max_live, span = run_all(
+        run_all = make_run(cfg, esdf_cap, budget)
+        s0, dropped, esdf_ov, max_bins, max_live = run_all(
             state, frames_j, Rs_j, Ts_j)
         float(s0)
         for _ in range(7):
@@ -163,9 +151,9 @@ def main():
             # whenever other capacities change the lattice
             want_lanes = bin_bucket_for(int(max_live))
             if int(esdf_ov) > 0:
-                sp = np.asarray(span)
-                wdims = tuple(max(win_bucket(int(s) + 2), w)
-                              for s, w in zip(sp, wdims))
+                need = esdf_cap + int(esdf_ov)
+                while esdf_cap < need:
+                    esdf_cap *= 2
             elif int(dropped) == 0 and want >= cfg.max_bins and \
                     cfg.max_march_lanes == want_lanes:
                 break
@@ -179,8 +167,8 @@ def main():
                     cfg, max_bins=max(want, cfg.max_bins),
                     max_march_lanes=want_lanes,
                     max_touched_blocks=cfg.max_touched_blocks * 2)
-            run_all = make_run(cfg, wdims, budget)
-            s0, dropped, esdf_ov, max_bins, max_live, span = run_all(
+            run_all = make_run(cfg, esdf_cap, budget)
+            s0, dropped, esdf_ov, max_bins, max_live = run_all(
                 state, frames_j, Rs_j, Ts_j)
             float(s0)
         # the guard: the timed executable must have dropped NOTHING
@@ -190,14 +178,14 @@ def main():
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            sval, drp, ov2, _, _, _ = run_all(state, frames_j, Rs_j, Ts_j)
+            sval, drp, ov2, _, _ = run_all(state, frames_j, Rs_j, Ts_j)
             float(sval)
             best = min(best, time.perf_counter() - t0)
         assert int(drp) == 0 and int(ov2) == 0
         return max(best - lat, 1e-9) / n_frames * 1000.0, cfg
 
     # ---- size bins on fusion-only ------------------------------------------
-    ms_fuse, cfg_sized = size_and_time(cfg, wdims=None)
+    ms_fuse, cfg_sized = size_and_time(cfg, esdf_cap=None)
     fps_fuse = 1000.0 / ms_fuse
 
     from taichislam_tpu.ops import marching_cubes as mc_ops
@@ -228,13 +216,11 @@ def main():
     # gating 0.25 voxels (cfg default).
     esdf_cfg = dataclasses.replace(cfg_sized, esdf_raise_slack_voxels=0.5,
                                    esdf_converge_eps=2e-3)
-    ms_esdf, _ = size_and_time(esdf_cfg, wdims=(8, 8, 4), budget=3)
+    ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=3)
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
-    # the dirty-window scans converge the working set in a few sweeps, so
-    # the drained mode differs from the primary only by the sweep budget
-    ms_drained, _ = size_and_time(esdf_cfg, wdims=(8, 8, 4), budget=32)
+    ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=32)
 
     def run_mc(k):
         @jax.jit
@@ -258,7 +244,7 @@ def main():
     # ---- secondary: production-shaped map (8192 blocks) ---------------------
     big_cfg = dataclasses.replace(cfg_sized, max_blocks=8192,
                                   map_scale=(40.0, 10.0))
-    ms_big, _ = size_and_time(big_cfg, wdims=None)
+    ms_big, _ = size_and_time(big_cfg, esdf_cap=None)
     fps_big = 1000.0 / ms_big
 
     print(json.dumps({

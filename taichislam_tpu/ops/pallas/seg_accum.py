@@ -140,11 +140,22 @@ def _kernel(bkey_ref, intra_ref, *rest, V3: int, rows: int, n_vals: int,
         count_ref[0] = tile_idx[0]
 
 
+def _f16_bits(x):
+    return jax.lax.bitcast_convert_type(
+        x.astype(jnp.float16), jnp.uint16).astype(jnp.uint32)
+
+
+def _from_f16_bits(u):
+    return jax.lax.bitcast_convert_type(
+        u.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
 def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
                            rows: int = 16, interpret: bool = False,
                            lane_cap: int | None = None,
                            max_bkey: int | None = None,
-                           presorted: bool = False):
+                           presorted: bool = False,
+                           vals_f16: bool = False):
     """Sort lanes by block key and accumulate per-block (n_vals, V3) tiles.
 
     Args:
@@ -179,17 +190,30 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
     N = bkey.shape[0]
     packed = (not presorted and
               max_bkey is not None and max_bkey * V3 < SENTINEL_KEY)
+    # f16-pack value PAIRS into single u32 sort operands: the
+    # multi-operand sort's cost scales with total bytes, so 2 f32 values
+    # ride as one u32 at f16 precision (~5e-4 relative on each — below
+    # the f16 channel storage quantization the reference itself uses)
+    f16_pairs = vals_f16 and not presorted and len(vals) >= 2
+    if f16_pairs:
+        pv = tuple(_f16_bits(vals[i]) | (_f16_bits(vals[i + 1]) << 16)
+                   for i in range(0, len(vals) - 1, 2))
+        if len(vals) % 2:
+            pv = pv + (vals[-1],)
+        vals_in = pv
+    else:
+        vals_in = tuple(vals)
     if presorted:
         # caller guarantees lanes already ordered by (bkey, intra) with
         # invalid lanes (bkey == SENTINEL_BLOCK) last — e.g. the binning
         # path, whose rank keys are nondecreasing by construction
-        srt = (bkey, intra) + tuple(vals)
+        srt = (bkey, intra) + vals_in
     elif packed:
         pk = jnp.where(bkey < SENTINEL_BLOCK, bkey * V3 + intra,
                        SENTINEL_KEY)
-        srt = jax.lax.sort((pk,) + tuple(vals), num_keys=1)
+        srt = jax.lax.sort((pk,) + vals_in, num_keys=1)
     else:
-        srt = jax.lax.sort((bkey, intra) + tuple(vals), num_keys=1)
+        srt = jax.lax.sort((bkey, intra) + vals_in, num_keys=1)
     lanes_dropped = jnp.int32(0)
     if lane_cap is not None and lane_cap < N:
         lane_cap = max((lane_cap + chunk - 1) // chunk * chunk, chunk)
@@ -204,6 +228,17 @@ def segmented_block_reduce(bkey, intra, vals, V3: int, max_touched: int,
         invalid_s = pk_s >= SENTINEL_KEY
         srt = (jnp.where(invalid_s, SENTINEL_BLOCK, bk_s),
                jnp.where(invalid_s, 0, pk_s - bk_s * V3)) + srt[1:]
+    if f16_pairs:
+        vi = srt[2:]
+        out_vals, k = [], 0
+        for i in range(0, len(vals) - 1, 2):
+            u = vi[k]
+            k += 1
+            out_vals.append(_from_f16_bits(u & jnp.uint32(0xFFFF)))
+            out_vals.append(_from_f16_bits(u >> 16))
+        if len(vals) % 2:
+            out_vals.append(vi[k])
+        srt = srt[:2] + tuple(out_vals)
     ops = [a.reshape(-1, rows, 128) for a in srt]
 
     grid = (N // chunk,)

@@ -435,11 +435,14 @@ def integrate(cfg: TSDFConfig, state: GridState, bins_pts, z, color, valid,
             # is whichever atomic lands last — nondeterministic; the
             # weighted mean is deterministic and at least as faithful.
             vals = vals + tuple(wf_raw * rgb_m[a] for a in range(3))
+        # vals_f16: value pairs ride the lane sort as single u32 operands
+        # (~5e-4 relative each — below the reference's own f16 field
+        # quantization); accumulation stays exact f32 in the kernel
         touched_rel, acc, n_touched, lanes_dropped = segmented_block_reduce(
             bkey, intra_k, vals, V3, cfg.max_touched_blocks,
             interpret=(jax.default_backend() != "tpu"),
             lane_cap=(cfg.max_march_lanes or None),
-            max_bkey=spec.blocks_per_submap)
+            max_bkey=spec.blocks_per_submap, vals_f16=True)
         live_lanes = jnp.sum(lane_ok.astype(jnp.int32))
         touched_dropped = jnp.maximum(n_touched - cfg.max_touched_blocks, 0)
 

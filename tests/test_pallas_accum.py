@@ -204,12 +204,12 @@ def test_textured_integrate_pallas_matches_xla():
             jnp.zeros(3, jnp.float32), K, K, jnp.int32(0))
         outs[mode] = st
     a, b = outs["off"], outs["on"]
-    # tolerance covers the OFF path's binning cancellation (see
-    # test_integrate_pallas_matches_xla)
+    # tolerance covers the OFF path's binning cancellation plus the ON
+    # path's f16 sort-lane packing (see test_integrate_pallas_matches_xla)
     np.testing.assert_allclose(np.asarray(a.channels["TSDF"]),
-                               np.asarray(b.channels["TSDF"]), atol=1e-4)
+                               np.asarray(b.channels["TSDF"]), atol=2e-3)
     np.testing.assert_allclose(np.asarray(a.channels["color"]),
-                               np.asarray(b.channels["color"]), atol=1e-4)
+                               np.asarray(b.channels["color"]), atol=2e-3)
     obs = np.asarray(a.channels["TSDF_observed"]) > 0
     col = np.asarray(a.channels["color"])
     # every observed voxel carries the constant color 120/255

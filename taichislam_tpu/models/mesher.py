@@ -7,6 +7,7 @@
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -45,7 +46,12 @@ class MarchingCubeMesher:
                 self.mapping.cfg, mt, int(step), cap, self.mapping.state,
                 jnp.int32(self.mapping.active_submap_id),
                 jnp.float32(self.tsdf_surface_thres))
-            total = int(out["total_triangles"])
+            # ONE packed host fetch for all the counters (each separate
+            # int() is a device round-trip on high-latency links)
+            pack = np.asarray(jnp.stack([out["num_triangles"],
+                                         out["total_triangles"],
+                                         out["surface_blocks_dropped"]]))
+            n_tri, total, dropped = (int(x) for x in pack)
             if total > mt and mt < self.max_triangles:
                 while mt < min(total, self.max_triangles):
                     mt *= 2
@@ -53,16 +59,25 @@ class MarchingCubeMesher:
                 continue
             break
         self._mt_bucket = mt
-        if int(out["surface_blocks_dropped"]) > 0:
-            print(f"[Mesher] surface block cap hit: "
-                  f"{int(out['surface_blocks_dropped'])} dropped")
-        self.num_facelets = int(out["num_triangles"])
-        self.total_triangles = int(out["total_triangles"])
-        self.mesh_vertices = np.asarray(out["vertices"])
-        self.mesh_normals = np.asarray(out["normals"])
-        self.mesh_colors = np.asarray(out["colors"])
-        if self.total_triangles > self.max_triangles:
-            print(f"[Mesher] triangle cap hit: {self.total_triangles} > "
+        if dropped > 0:
+            print(f"[Mesher] surface block cap hit: {dropped} dropped")
+        self.num_facelets = n_tri
+        self.total_triangles = total
+        # ship only the LIVE triangle prefix (triangles are compacted to
+        # the front): the device buffers are sized to the pow2 bucket, and
+        # fetching the dead tail through a remote link costs real seconds
+        # at ~50 MB of mesh buffers. The fetch length is pow2-bucketed to
+        # bound slice-executable recompiles.
+        rows = 1 << 8
+        while rows < n_tri * 3:
+            rows *= 2
+        rows = min(rows, mt * 3)
+        sl = jax.lax.dynamic_slice_in_dim
+        self.mesh_vertices = np.asarray(sl(out["vertices"], 0, rows, 0))
+        self.mesh_normals = np.asarray(sl(out["normals"], 0, rows, 0))
+        self.mesh_colors = np.asarray(sl(out["colors"], 0, rows, 0))
+        if total > self.max_triangles:
+            print(f"[Mesher] triangle cap hit: {total} > "
                   f"{self.max_triangles}")
         print("Total triangles", self.num_facelets)
 

@@ -520,6 +520,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[bpos].set(
             jnp.arange(nb, dtype=jnp.int32), mode="drop")[:block_cap]
         bvalid = jnp.arange(block_cap) < bkept
+        n_upd = bkept
         overflow_in = jnp.maximum(btotal - block_cap, 0)
         ns_d = rows_d = validD = None
     else:
@@ -549,19 +550,28 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         ns_d = neighbor_slot_table(spec, state, active_submap, rows=rows_d)
         ns_flat = jnp.where(validD[:, None], ns_d.reshape(block_cap, 27),
                             nb - 1)
-        # dedupe (dirty ∪ neighbors) by sorting the 27·cap candidate slots
-        # (garbage slot nb-1 sorts last and is masked) — ascending slot
-        # order, deterministic
-        cand = jnp.concatenate([jnp.where(validD, rows_d, nb - 1),
-                                ns_flat.reshape(-1)])
-        srt = jax.lax.sort(cand)
+        # compact rows are ordered DIRTY-FIRST (rim after): updatable rows
+        # become a prefix, so the sweep kernel can skip whole rim slabs
+        # (they are Dirichlet pass-throughs — computing them was ~half the
+        # per-sweep VPU work). Rim = sort-dedupe of the dirty rows'
+        # neighbor slots, minus the dirty rows themselves (garbage slot
+        # nb-1 sorts last and is masked); ascending slot order within each
+        # group, deterministic.
+        srt = jax.lax.sort(ns_flat.reshape(-1))
         head = (srt < nb - 1) & jnp.concatenate(
             [jnp.array([True]), srt[1:] != srt[:-1]])
-        posS, keptS, totalS = compact_mask(head, block_cap)
-        slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[posS].set(
+        head &= ~jnp.take(work_blk, srt)       # exclude dirty rows
+        posR, keptR, totalR = compact_mask(head, block_cap)
+        posR = jnp.where(posR < block_cap, posR + keptD, block_cap)
+        slot_of = jnp.full((block_cap + 1,), nb - 1, jnp.int32).at[posD].set(
+            jnp.arange(nb, dtype=jnp.int32), mode="drop").at[
+            jnp.minimum(posR, block_cap)].set(
             jnp.where(head, srt, nb - 1), mode="drop")[:block_cap]
+        keptS = jnp.minimum(keptD + keptR, block_cap)
         bvalid = jnp.arange(block_cap) < keptS
-        overflow_in = jnp.maximum(jnp.maximum(totalD, totalS) - block_cap, 0)
+        n_upd = keptD
+        overflow_in = jnp.maximum(
+            jnp.maximum(totalD, totalD + totalR) - block_cap, 0)
 
     # global slot -> compact index (garbage rows -> block_cap)
     inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(
@@ -717,7 +727,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             def call(with_scans):
                 def f(x):
                     return esdf_sweep_pallas(
-                        x, enc_hh, side_hh, V=V,
+                        x, enc_hh, side_hh, n_upd, V=V,
                         v1=float(cfg.voxel_scale), gamma=float(gamma),
                         eps=float(eps_py), max_ray=float(max_ray),
                         with_scans=with_scans,

@@ -654,7 +654,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     eps = jnp.float32(eps_py)
 
     def body(carry):
-        esdf, _, it = carry
+        esdf, _, it = carry[:3]
         lo = _assemble_sweep(jnp.where(pos_src_h, esdf, BIG), nslots, V, BIG)
         hi = _assemble_sweep(jnp.where(neg_src_h, esdf, -BIG), nslots, V,
                              -BIG)
@@ -701,7 +701,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                           jnp.maximum(-max_ray_f, cand_hi))
         new = jnp.where(neg_side_h, new_n, new)
         changed = jnp.any(jnp.abs(new - esdf) > cfg.esdf_converge_eps)
-        return new, changed, it + 1
+        return new, changed, it + 1, carry[3]
 
     if _use_pallas_sweep(cfg):
         # fused-kernel path (ops/pallas/esdf_sweep.py): the whole sweep
@@ -720,14 +720,25 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                              ENC_BIG), nslots, V, ENC_BIG)
         side_hh = pos_side_h.astype(jnp.int8) - neg_side_h.astype(jnp.int8)
 
+        upd_prefix = jnp.arange(NROWS) < n_upd
+        nslots27 = nslots.reshape(NROWS, 27)
+
         def body(carry):
-            esdf, _, it = carry
+            esdf, _, it, act = carry
             eh = _assemble_sweep(esdf, nslots, V, 0.0)
+            # per-slab activity gate: a slab computes only while some of
+            # its updatable rows — or their neighbors — changed last
+            # sweep; converged regions and the frozen rim pass through
+            # (exact: unchanged inputs recompute to the same values).
+            # This is the within-update wavefront the raise/lower queues
+            # gave voxblox: late sweeps touch only the moving front.
+            slab_act = jnp.any((act & upd_prefix).reshape(-1, 8),
+                               axis=1).astype(jnp.int32)
 
             def call(with_scans):
                 def f(x):
                     return esdf_sweep_pallas(
-                        x, enc_hh, side_hh, n_upd, V=V,
+                        x, enc_hh, side_hh, slab_act, V=V,
                         v1=float(cfg.voxel_scale), gamma=float(gamma),
                         eps=float(eps_py), max_ray=float(max_ray),
                         with_scans=with_scans,
@@ -740,15 +751,20 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             else:
                 new = jax.lax.cond(it < cfg.esdf_scan_sweeps, call(True),
                                    call(False), eh)
-            changed = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps)
-            return new, changed, it + 1
+            diff_rows = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps,
+                                axis=(1, 2))
+            changed = jnp.any(diff_rows)
+            act_next = diff_rows | jnp.any(jnp.take(diff_rows, nslots27),
+                                           axis=1)
+            return new, changed, it + 1, act_next
 
     def cond(carry):
-        _, changed, it = carry
+        _, changed, it = carry[:3]
         return changed & (it < max_sweeps)
 
-    esdf_h, _, sweeps = jax.lax.while_loop(
-        cond, body, (esdf0_h, jnp.bool_(True), jnp.int32(0)))
+    esdf_h, _, sweeps, _ = jax.lax.while_loop(
+        cond, body, (esdf0_h, jnp.bool_(True), jnp.int32(0),
+                     jnp.ones((NROWS,), bool)))
     esdf_c = _from_sweep_layout(esdf_h, V)
 
     # scatter results back to full-size arrays; blocks outside the working

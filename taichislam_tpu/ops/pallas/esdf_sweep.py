@@ -40,19 +40,21 @@ BIG = 1e9
 ENC_BIG = 1e6
 
 
-def _kernel(esdf_ref, enc_ref, side_ref, nupd_ref, out_ref, *,
+def _kernel(esdf_ref, enc_ref, side_ref, act_ref, out_ref, *,
             W: int, R: int, v1: float, gamma: float, eps: float,
             max_ray: float, with_scans: bool):
-    # rows are ordered updatable-first (ops/esdf.py working-set
-    # construction): slabs fully inside the frozen rim are Dirichlet
-    # pass-throughs — skip their (expensive) stencil/scan compute
+    # per-slab activity gate (ops/esdf.py): a slab computes only if some
+    # of its rows might still change — updatable AND (self or a neighbor
+    # changed last sweep). Frozen-rim slabs and already-converged regions
+    # are Dirichlet/steady pass-throughs; recomputing them is wasted VPU
+    # work and skipping them is EXACT (their inputs are unchanged).
     step = pl.program_id(0)
 
-    @pl.when(step * R >= nupd_ref[0])
+    @pl.when(act_ref[step] == 0)
     def _copy():
         out_ref[...] = esdf_ref[...]
 
-    @pl.when(step * R < nupd_ref[0])
+    @pl.when(act_ref[step] != 0)
     def _compute():
         _sweep_body(esdf_ref, enc_ref, side_ref, out_ref, W=W, R=R, v1=v1,
                     gamma=gamma, eps=eps, max_ray=max_ray,
@@ -197,7 +199,7 @@ def _sweep_body(esdf_ref, enc_ref, side_ref, out_ref, *,
 @functools.partial(jax.jit, static_argnames=("V", "v1", "gamma", "eps",
                                              "max_ray", "with_scans",
                                              "interpret"))
-def esdf_sweep_pallas(esdf_h, enc_h, side_h, n_upd=None, *, V: int,
+def esdf_sweep_pallas(esdf_h, enc_h, side_h, slab_act=None, *, V: int,
                       v1: float, gamma: float, eps: float, max_ray: float,
                       with_scans: bool = True, interpret: bool = False):
     """One fused relaxation sweep over the (N, W, W²) sweep-layout field.
@@ -206,18 +208,18 @@ def esdf_sweep_pallas(esdf_h, enc_h, side_h, n_upd=None, *, V: int,
     is the encoded TSDF/participation channel (TSDF where participating,
     +ENC_BIG otherwise — observed/fixed/source masks derive on-chip);
     ``side_h`` is the interior-only update-side mask (+1/-1/0, i8). N must
-    be a multiple of 8 (pad with fill rows). ``n_upd`` is the count of
-    leading UPDATABLE rows (rows must be ordered updatable-first; frozen
-    rows after it are passed through without compute — side must be 0
-    there regardless); None means all rows. Returns the updated field
-    (interior updated, halo lanes passed through)."""
+    be a multiple of 8 (pad with fill rows). ``slab_act`` is an (N/8,)
+    i32 per-slab activity gate — inactive slabs (frozen rim or regions
+    whose rows and neighbors did not change last sweep) pass through
+    without compute, which is exact since their inputs are unchanged;
+    None computes every slab. Returns the updated field (interior
+    updated, halo lanes passed through)."""
     W = V + 2
     N = esdf_h.shape[0]
     R = 8
     assert N % R == 0, "pad rows to a multiple of 8"
-    if n_upd is None:
-        n_upd = N
-    nupd_arr = jnp.asarray(n_upd, jnp.int32).reshape(1)
+    if slab_act is None:
+        slab_act = jnp.ones((N // R,), jnp.int32)
     grid = (N // R,)
     bspec = lambda: pl.BlockSpec((R, W, W * W), lambda n: (n, 0, 0))
     kern = functools.partial(_kernel, W=W, R=R, v1=float(v1),
@@ -231,4 +233,4 @@ def esdf_sweep_pallas(esdf_h, enc_h, side_h, n_upd=None, *, V: int,
         out_specs=bspec(),
         out_shape=jax.ShapeDtypeStruct(esdf_h.shape, jnp.float32),
         interpret=interpret,
-    )(esdf_h, enc_h, side_h, nupd_arr)
+    )(esdf_h, enc_h, side_h, slab_act.astype(jnp.int32))

@@ -157,7 +157,11 @@ class InteractiveRender(TaichiSLAMRender):
     """TaichiSLAMRender whose rendering() publishes to a ViewerServer."""
 
     def __init__(self, port: int = 8765, host: str = "127.0.0.1",
-                 max_particles_draw=200000, announce=True, **kw):
+                 max_particles_draw=1000000, announce=True, **kw):
+        # WebGL point sprites handle max_disp_particles-scale clouds
+        # directly (unlike the matplotlib fallback renderer, which keeps
+        # its 200k draw cap) — default to the reference's 1M budget so the
+        # interactive operator view does not silently subsample
         super().__init__(show=False, save_path=None,
                          max_particles_draw=max_particles_draw, **kw)
         self.server = ViewerServer(port=port, host=host)

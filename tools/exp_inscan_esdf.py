@@ -29,7 +29,7 @@ def main():
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
         max_blocks=2048, max_bins=8192, max_submap_num=64,
-        max_touched_blocks=256)
+        max_touched_blocks=256, storage_dtype="float16")
     cfg = dataclasses.replace(cfg, esdf_raise_slack_voxels=0.5,
                               esdf_converge_eps=2e-3)
 
@@ -89,7 +89,10 @@ def main():
     for cap, budget, label in ((None, 0, "fusion only "),
                                ("gate", 0, "gating only "),
                                ("nogate", 0, "update only "),
-                               (256, 0, "esdf budget0")):
+                               (256, 0, "esdf budget0"),
+                               (256, 1, "esdf budget1"),
+                               (256, 2, "esdf budget2"),
+                               (256, 3, "esdf budget3")):
         run = make_run(cap, budget)
         s, ov = run(state, frames_j, Rs_j, Ts_j)
         float(s)

@@ -70,14 +70,15 @@ def main():
     n_live = int(jnp.sum(bkey < SENTINEL_BLOCK))
     print(f"lanes: {bkey.shape[0]} total, {n_live} live", flush=True)
 
-    for rows in (8, 16, 32, 64):
-        def fn(bkey, intra):
+    for rows in (16, 24, 32, 48):
+        def fn(bkey, intra, wf):
             _, acc, _, _ = segmented_block_reduce(
                 bkey, intra, (wf, wdf), spec.voxels_per_block,
-                cfg.max_touched_blocks, rows=rows)
+                cfg.max_touched_blocks, rows=rows,
+                max_bkey=spec.blocks_per_submap, vals_f16=True)
             return acc[:, 0, :]
-        print(f"rows={rows:3d}: {timed(fn, (bkey, intra), 1):7.2f} ms",
-              flush=True)
+        print(f"rows={rows:3d}: "
+              f"{timed(fn, (bkey, intra, wf), 2):7.2f} ms", flush=True)
 
     # sort alone, for reference
     def sort_only(bkey, intra):

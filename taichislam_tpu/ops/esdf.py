@@ -89,27 +89,54 @@ BIG = jnp.float32(1e9)
 # halo machinery
 # ---------------------------------------------------------------------------
 
-def neighbor_slot_table(spec, state, active_submap, rows=None):
-    """(n, 3, 3, 3) storage slot of each block's 26 neighbors (+ itself);
-    missing neighbors map to the garbage slot.
+def neighbor_slot_cols(spec, state, active_submap, rows=None):
+    """(27, n) storage slot of each block's 26 neighbors (+ itself), column
+    c = ((di+1)*3 + (dj+1))*3 + (dk+1); missing neighbors map to the
+    garbage slot.
 
     ``rows=None`` covers all ``nb`` storage slots. Passing a compact (k,)
     row-index array probes only those rows — table lookups are per-element
     gathers (~7 ns/el on v5e), so probing 27·k beats 27·nb whenever the
-    working set is small (the incremental-ESDF case)."""
+    working set is small (the incremental-ESDF case). The neighbor ids are
+    built column-wise from per-component coordinate arrays: the stacked
+    (n, 3, 3, 3, 3) form pads its minor dims to 128 lanes on TPU and the
+    relayout copies dominated the probe cost."""
     bc = state.block_coords  # (nb, 4)
     if rows is not None:
-        bc = jnp.take(bc, rows, axis=0)
-    offs = jnp.stack(jnp.meshgrid(*([jnp.arange(-1, 2)] * 3),
-                                  indexing="ij"), axis=-1)  # (3,3,3,3)
-    nbr = bc[:, None, None, None, 1:4] + offs[None]          # (n,3,3,3,3)
-    inb = jnp.all((nbr >= 0) & (nbr < jnp.asarray(
-        [spec.bn_xy, spec.bn_xy, spec.bn_z])), axis=-1)
-    inb &= (bc[:, 0] >= 0)[:, None, None, None]
-    blin = (nbr[..., 0] * spec.bn_xy + nbr[..., 1]) * spec.bn_z + \
-        nbr[..., 2] + bc[:, 0][:, None, None, None] * spec.blocks_per_submap
-    blin = jnp.where(inb, blin, -1)
-    return lookup_slots(spec, state.table, blin)
+        s = jnp.take(bc[:, 0], rows)
+        bi = jnp.take(bc[:, 1], rows)
+        bj = jnp.take(bc[:, 2], rows)
+        bk = jnp.take(bc[:, 3], rows)
+    else:
+        s, bi, bj, bk = bc[:, 0], bc[:, 1], bc[:, 2], bc[:, 3]
+    base = s * spec.blocks_per_submap
+    cols = []
+    for di in (-1, 0, 1):
+        ni = bi + di
+        ok_i = (s >= 0) & (ni >= 0) & (ni < spec.bn_xy)
+        for dj in (-1, 0, 1):
+            nj = bj + dj
+            ok_j = ok_i & (nj >= 0) & (nj < spec.bn_xy)
+            for dk in (-1, 0, 1):
+                nk = bk + dk
+                ok = ok_j & (nk >= 0) & (nk < spec.bn_z)
+                blin = (ni * spec.bn_xy + nj) * spec.bn_z + nk + base
+                cols.append(jnp.where(ok, blin, -1))
+    blin27 = jnp.stack(cols, axis=0)                   # (27, n): no minor pad
+    return lookup_slots(spec, state.table, blin27)
+
+
+# face-neighbor column ids in the (27, n) table: c = ((di+1)*3+(dj+1))*3+dk+1
+_C_IM, _C_IP = 4, 22     # (-1, 0, 0) / (+1, 0, 0)
+_C_JM, _C_JP = 10, 16    # (0, -1, 0) / (0, +1, 0)
+_C_KM, _C_KP = 12, 14    # (0, 0, -1) / (0, 0, +1)
+
+
+def neighbor_slot_table(spec, state, active_submap, rows=None):
+    """(n, 3, 3, 3) view of :func:`neighbor_slot_cols` (cold-path API used
+    by the mesher and the sharded gather)."""
+    cols = neighbor_slot_cols(spec, state, active_submap, rows=rows)
+    return cols.transpose(1, 0).reshape(-1, 3, 3, 3)
 
 
 def assemble_halo(tiles, nslots, V, fill, center=None):
@@ -250,29 +277,29 @@ def _k_edge_masks_np(V):
 def _assemble_sweep(H, nsl, V, fill):
     """Fill the halo shells of sweep-layout ``H`` from neighbor blocks.
 
-    ``nsl`` is the (n, 3, 3, 3) compact-space neighbor slot table (garbage
+    ``nsl`` is the (27, n) compact-space neighbor column table (garbage
     row = n-1, whose values must already be ``fill``). Axis passes run
     i -> j -> k so each pass reads shells the earlier passes filled, which
     delivers all 20 edge/corner diagonals through face-only exchanges.
     """
     W = V + 2
     # i faces: our i=0 group <- neighbor(di=-1)'s i'=V group (both 18 lanes)
-    g = jnp.take(H[:, :, V * W:(V + 1) * W], nsl[:, 0, 1, 1], axis=0)
+    g = jnp.take(H[:, :, V * W:(V + 1) * W], nsl[_C_IM], axis=0)
     H = H.at[:, :, 0:W].set(g)
-    g = jnp.take(H[:, :, W:2 * W], nsl[:, 2, 1, 1], axis=0)
+    g = jnp.take(H[:, :, W:2 * W], nsl[_C_IP], axis=0)
     H = H.at[:, :, (V + 1) * W:(V + 2) * W].set(g)
     # j faces: single sublane rows, full lane extent (includes i shells)
-    g = jnp.take(H[:, V:V + 1, :], nsl[:, 1, 0, 1], axis=0)
+    g = jnp.take(H[:, V:V + 1, :], nsl[_C_JM], axis=0)
     H = H.at[:, 0:1, :].set(g)
-    g = jnp.take(H[:, 1:2, :], nsl[:, 1, 2, 1], axis=0)
+    g = jnp.take(H[:, 1:2, :], nsl[_C_JP], axis=0)
     H = H.at[:, V + 1:V + 2, :].set(g)
     # k faces: masked lane shifts (k is minor within lanes, so the slab is
     # strided; a +-V shift aligns neighbor k'=V/1 onto our k=0/V+1 lanes)
     m0_np, m1_np = _k_edge_masks_np(V)
     m0, m1 = jnp.asarray(m0_np), jnp.asarray(m1_np)
-    g = jnp.take(H, nsl[:, 1, 1, 0], axis=0)
+    g = jnp.take(H, nsl[_C_KM], axis=0)
     H = jnp.where(m0, _lshift(g, V, fill), H)
-    g = jnp.take(H, nsl[:, 1, 1, 2], axis=0)
+    g = jnp.take(H, nsl[_C_KP], axis=0)
     H = jnp.where(m1, _lshift(g, -V, fill), H)
     return H
 
@@ -461,9 +488,10 @@ def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
     return dirty, seen_tsdf, seen_obs
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2))
+@partial(jax.jit, static_argnums=(0, 1, 2, 8))
 def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
-                prev_esdf, prev_fixed, active_submap, dirty_blocks=None):
+                prev_esdf, prev_fixed, active_submap, dirty_blocks=None,
+                _ablate: str = ""):
     """Compute the ESDF over the active submap's observed voxels.
 
     The sweep runs on a **compacted participating-block working set**
@@ -547,9 +575,21 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         rows_d = jnp.full((block_cap,), nb - 1, jnp.int32).at[posD].set(
             jnp.arange(nb, dtype=jnp.int32), mode="drop")
         validD = jnp.arange(block_cap) < keptD
-        ns_d = neighbor_slot_table(spec, state, active_submap, rows=rows_d)
-        ns_flat = jnp.where(validD[:, None], ns_d.reshape(block_cap, 27),
-                            nb - 1)
+        if _ablate == "ws1":
+            overflow_in = jnp.maximum(totalD - block_cap, 0)
+            participate_full = participate_full
+            return (prev_esdf.at[0, 0].add(
+                (jnp.sum(rows_d) + jnp.sum(validD)).astype(jnp.float32)
+                * 1e-30), prev_fixed.astype(jnp.int8), participate_full,
+                jnp.int32(0), jnp.zeros((nb,), bool), overflow_in)
+        ns_d = neighbor_slot_cols(spec, state, active_submap, rows=rows_d)
+        if _ablate == "ws2":
+            overflow_in = jnp.maximum(totalD - block_cap, 0)
+            return (prev_esdf.at[0, 0].add(
+                jnp.sum(ns_d).astype(jnp.float32) * 1e-30),
+                prev_fixed.astype(jnp.int8), participate_full,
+                jnp.int32(0), jnp.zeros((nb,), bool), overflow_in)
+        ns_flat = jnp.where(validD[None, :], ns_d, nb - 1)    # (27, cap)
         # compact rows are ordered DIRTY-FIRST (rim after): updatable rows
         # become a prefix, so the sweep kernel can skip whole rim slabs
         # (they are Dirichlet pass-throughs — computing them was ~half the
@@ -572,6 +612,11 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         n_upd = keptD
         overflow_in = jnp.maximum(
             jnp.maximum(totalD, totalD + totalR) - block_cap, 0)
+        if _ablate == "ws3":
+            return (prev_esdf.at[0, 0].add(
+                (jnp.sum(slot_of) + jnp.sum(bvalid)).astype(jnp.float32)
+                * 1e-30), prev_fixed.astype(jnp.int8), participate_full,
+                jnp.int32(0), jnp.zeros((nb,), bool), overflow_in)
 
     # global slot -> compact index (garbage rows -> block_cap)
     inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(
@@ -614,12 +659,12 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     # raise/re-queue every update.
     if ns_d is not None:
         tgtD = jnp.where(validD, jnp.take(inv, rows_d), block_cap)
-    nslots = jnp.take(inv, neighbor_slot_table(
-        spec, state, active_submap, rows=slot_of), axis=0)
-    nslots = jnp.where(bvalid[:, None, None, None], nslots, block_cap)
+    nslots = jnp.take(inv, neighbor_slot_cols(
+        spec, state, active_submap, rows=slot_of), axis=0)   # (27, cap)
+    nslots = jnp.where(bvalid[None, :], nslots, block_cap)
     nslots = jnp.concatenate(
-        [nslots, jnp.full((NROWS - block_cap, 3, 3, 3), block_cap,
-                          jnp.int32)], axis=0)
+        [nslots, jnp.full((27, NROWS - block_cap), block_cap,
+                          jnp.int32)], axis=1)               # (27, NROWS)
 
     # rows holding frozen-rim blocks participate as sources but are never
     # updated (Dirichlet boundary of the working set)
@@ -631,6 +676,26 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     neg_side = participate & ~fixed & (tsdf < 0) & updatable[:, None]
     pos_src = (participate & (fixed | (tsdf >= gamma))).at[-1].set(False)
     neg_src = (participate & (fixed | (tsdf <= -gamma))).at[-1].set(False)
+
+    # debug-only cost ablation (tools/exp_r3_fixed.py): return early with the
+    # named stage's products folded into the output so DCE trims the rest
+    def _abl_ret(*arrs):
+        s = jnp.float32(0)
+        for a in arrs:
+            s = s + jnp.sum(a.astype(jnp.float32))
+        return (prev_esdf.at[0, 0].add(s * 1e-30),
+                prev_fixed.astype(jnp.int8), participate_full, jnp.int32(0),
+                jnp.zeros((nb,), bool), overflow_in)
+
+    if _ablate in ("ws", "rows"):
+        if _ablate == "ws":
+            arrs = [slot_of, nslots, updatable]
+            if ns_d is not None:
+                arrs += [ns_d, rows_d]
+        else:
+            arrs = [slot_of, nslots, updatable, tsdf, participate, esdf0,
+                    fixed, pos_side, neg_side, pos_src, neg_src]
+        return _abl_ret(*arrs)
 
     # sweep in the lane-fused layout (see sweep-layout machinery above);
     # masks convert once, state converts back once after the loop
@@ -719,9 +784,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             _to_sweep_layout(jnp.where(participate, tsdf, ENC_BIG), V,
                              ENC_BIG), nslots, V, ENC_BIG)
         side_hh = pos_side_h.astype(jnp.int8) - neg_side_h.astype(jnp.int8)
+        if _ablate == "layout":
+            return _abl_ret(esdf0_h, enc_hh, side_hh, nslots)
 
         upd_prefix = jnp.arange(NROWS) < n_upd
-        nslots27 = nslots.reshape(NROWS, 27)
 
         def body(carry):
             esdf, _, it, act = carry
@@ -754,18 +820,46 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             diff_rows = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps,
                                 axis=(1, 2))
             changed = jnp.any(diff_rows)
-            act_next = diff_rows | jnp.any(jnp.take(diff_rows, nslots27),
-                                           axis=1)
+            act_next = diff_rows | jnp.any(jnp.take(diff_rows, nslots),
+                                           axis=0)
             return new, changed, it + 1, act_next
 
     def cond(carry):
         _, changed, it = carry[:3]
         return changed & (it < max_sweeps)
 
-    esdf_h, _, sweeps, _ = jax.lax.while_loop(
-        cond, body, (esdf0_h, jnp.bool_(True), jnp.int32(0),
-                     jnp.ones((NROWS,), bool)))
+    carry0 = (esdf0_h, jnp.bool_(True), jnp.int32(0),
+              jnp.ones((NROWS,), bool))
+    if max_sweeps <= 4:
+        # unrolled: a while op costs ~0.2 ms/frame in carry staging alone
+        # at this size; for small budgets run the sweeps straight-line.
+        # Converged-early sweeps self-gate (all slabs inactive -> the
+        # kernel is a pass-through), matching the while semantics: the
+        # sweep count still advances only while something changed.
+        carry = carry0
+        for _ in range(max_sweeps):
+            new = body(carry)
+            go = carry[1]   # while-cond: sweep only while still changing
+            if _use_pallas_sweep(cfg):
+                # the act gate already freezes a converged field exactly
+                # (all slabs inactive -> the kernel passes the assembled
+                # state through, shells are re-filled next sweep); only
+                # the sweep counter needs the while-cond gate
+                carry = (new[0], new[1],
+                         jnp.where(go, new[2], carry[2]), new[3])
+            else:
+                # the XLA body keeps applying sub-eps drift after
+                # convergence; gate everything to match while semantics
+                carry = (jnp.where(go, new[0], carry[0]),
+                         jnp.where(go, new[1], carry[1]),
+                         jnp.where(go, new[2], carry[2]),
+                         jnp.where(go, new[3], carry[3]))
+        esdf_h, _, sweeps, _ = carry
+    else:
+        esdf_h, _, sweeps, _ = jax.lax.while_loop(cond, body, carry0)
     esdf_c = _from_sweep_layout(esdf_h, V)
+    if _ablate == "noepi":
+        return _abl_ret(esdf_c, fixed)
 
     # scatter results back to full-size arrays; blocks outside the working
     # set (and the frozen rim) carry their previous values through. The
@@ -803,7 +897,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         # re-queues them, no second dilation pass
         shell_d = jnp.take(shell_changed, jnp.minimum(tgtD, NROWS - 1)) & \
             validD
-        tgt27 = jnp.where(shell_d[:, None], ns_flat, nb - 1)
+        tgt27 = jnp.where(shell_d[None, :], ns_flat, nb - 1)
         shell_blocks = jnp.zeros((nb,), bool).at[tgt27.reshape(-1)].set(
             True).at[-1].set(False)
         changed_blocks = (changed_blocks |

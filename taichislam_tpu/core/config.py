@@ -185,6 +185,16 @@ class TSDFConfig:
     # ~shadow-diameter class sweeps).
     esdf_scan_sweeps: int = 1
 
+    # With a positive period p, scan sweeps ALSO run on every p-th sweep
+    # (it % p == 0), not just the first ``esdf_scan_sweeps``. Drained-mode
+    # lever: information crosses one block boundary per halo exchange, and
+    # only scan sweeps carry it across the next block's interior in a
+    # single hop — first-sweep-only scans leave later crossings at one
+    # voxel per sweep, while scans-every-sweep doubles the cost of the
+    # cheap refinement sweeps. A period amortizes: one block-crossing scan
+    # sweep per p, class sweeps in between. 0 disables (default).
+    esdf_scan_period: int = 0
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

@@ -16,13 +16,22 @@ from taichislam_tpu.ops import marching_cubes as mc_ops
 
 class MarchingCubeMesher:
     def __init__(self, mapping, max_triangles=1000000,
-                 tsdf_surface_thres=0.1, surface_block_cap=2048):
+                 tsdf_surface_thres=0.1, surface_block_cap=2048,
+                 delivery="quantized"):
         self.mapping = mapping
         self.max_triangles = max_triangles
         self.tsdf_surface_thres = tsdf_surface_thres
         self.surface_block_cap = min(surface_block_cap,
                                      mapping.cfg.max_blocks)
         self.enable_texture = mapping.enable_texture
+        # "quantized" ships the mesh as one 12-byte/vertex buffer (i16 mm
+        # vertices, i8 normals, u8 colors — one host round-trip, 3× less
+        # wire traffic; exact to 0.5 mm); "f32" ships the raw arrays.
+        # Falls back to f32 when the map extent exceeds the i16 mm range.
+        cfg = mapping.cfg
+        half_extent = max(cfg.grid.bn_xy, cfg.grid.bn_z) * \
+            cfg.num_voxel_per_blk_axis * cfg.voxel_scale / 2.0
+        self.delivery = delivery if half_extent < 32.7 else "f32"
         self.num_facelets = 0
         n = max_triangles * 3
         self.mesh_vertices = np.full((n, 3), -1000000.0, np.float32)
@@ -72,10 +81,22 @@ class MarchingCubeMesher:
         while rows < n_tri * 3:
             rows *= 2
         rows = min(rows, mt * 3)
-        sl = jax.lax.dynamic_slice_in_dim
-        self.mesh_vertices = np.asarray(sl(out["vertices"], 0, rows, 0))
-        self.mesh_normals = np.asarray(sl(out["normals"], 0, rows, 0))
-        self.mesh_colors = np.asarray(sl(out["colors"], 0, rows, 0))
+        if self.delivery == "quantized":
+            buf = mc_ops.pack_mesh_delivery(
+                out["vertices"], out["normals"], out["colors"], rows,
+                self.enable_texture)
+            v, nrm, col = mc_ops.unpack_mesh_delivery(
+                buf, rows, self.enable_texture)
+            # dead tail keeps the reference's -1e6 fill (the live prefix
+            # is [:num_facelets*3])
+            v[n_tri * 3:] = -1000000.0
+            self.mesh_vertices, self.mesh_normals = v, nrm
+            self.mesh_colors = col
+        else:
+            sl = jax.lax.dynamic_slice_in_dim
+            self.mesh_vertices = np.asarray(sl(out["vertices"], 0, rows, 0))
+            self.mesh_normals = np.asarray(sl(out["normals"], 0, rows, 0))
+            self.mesh_colors = np.asarray(sl(out["colors"], 0, rows, 0))
         if total > self.max_triangles:
             print(f"[Mesher] triangle cap hit: {total} > "
                   f"{self.max_triangles}")

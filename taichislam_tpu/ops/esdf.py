@@ -718,6 +718,15 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     eps_py = max(cfg.esdf_raise_slack_voxels * cfg.voxel_scale, 1e-4)
     eps = jnp.float32(eps_py)
 
+    def _scan_this_sweep(cfg, it):
+        """Scan-sweep predicate: the first ``esdf_scan_sweeps`` sweeps,
+        plus every ``esdf_scan_period``-th sweep (the drained-mode
+        block-crossing cadence — see TSDFConfig.esdf_scan_period)."""
+        pred = it < cfg.esdf_scan_sweeps
+        if cfg.esdf_scan_period > 0:
+            pred |= (it % cfg.esdf_scan_period) == 0
+        return pred
+
     def body(carry):
         esdf, _, it = carry[:3]
         lo = _assemble_sweep(jnp.where(pos_src_h, esdf, BIG), nslots, V, BIG)
@@ -749,7 +758,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             cand_lo, cand_hi = with_scans((cand_lo, cand_hi))
         else:
             cand_lo, cand_hi = jax.lax.cond(
-                it < cfg.esdf_scan_sweeps, with_scans, lambda c: c,
+                _scan_this_sweep(cfg, it), with_scans, lambda c: c,
                 (cand_lo, cand_hi))
 
         # support check (see module docstring): supported values relax
@@ -815,7 +824,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             if cfg.esdf_scan_sweeps < 0:
                 new = call(True)(eh)
             else:
-                new = jax.lax.cond(it < cfg.esdf_scan_sweeps, call(True),
+                new = jax.lax.cond(_scan_this_sweep(cfg, it), call(True),
                                    call(False), eh)
             diff_rows = jnp.any(jnp.abs(new - eh) > cfg.esdf_converge_eps,
                                 axis=(1, 2))

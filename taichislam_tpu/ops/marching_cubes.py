@@ -349,6 +349,48 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
     }
 
 
+@partial(jax.jit, static_argnums=(3, 4))
+def pack_mesh_delivery(vertices, normals, colors, rows: int,
+                       with_colors: bool):
+    """Quantize the live mesh prefix into ONE flat u8 buffer for host
+    delivery: vertices as i16 millimetres (exact to 0.5 mm, range
+    ±32.7 m), normals as i8/127 (unit vectors, ≤0.8 % direction error),
+    colors as u8 — 12 bytes/vertex instead of 36, fetched in a single
+    host round-trip. On remote-attached devices (this sandbox's relay)
+    the mesh transfer dominates extraction by ~100×, so the wire size is
+    the metric that matters; layout below = [rows*6 vertex bytes |
+    rows*3 normal bytes | rows*3 color bytes if with_colors].
+    """
+    sl = jax.lax.dynamic_slice_in_dim
+    v = sl(vertices, 0, rows, 0)
+    vq = jnp.clip(jnp.round(v * 1000.0), -32767, 32767).astype(jnp.int16)
+    vb = jax.lax.bitcast_convert_type(vq, jnp.uint8).reshape(-1)
+    n = sl(normals, 0, rows, 0)
+    nq = jnp.clip(jnp.round(n * 127.0), -127, 127).astype(jnp.int8)
+    nb_ = jax.lax.bitcast_convert_type(nq, jnp.uint8).reshape(-1)
+    parts = [vb, nb_]
+    if with_colors:
+        c = sl(colors, 0, rows, 0)
+        parts.append(jnp.clip(jnp.round(c * 255.0), 0, 255)
+                     .astype(jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_mesh_delivery(buf, rows: int, with_colors: bool):
+    """Host-side inverse of :func:`pack_mesh_delivery` (numpy)."""
+    buf = np.asarray(buf)
+    v = buf[:rows * 6].view(np.int16).reshape(rows, 3).astype(np.float32)
+    v *= 1e-3
+    n = buf[rows * 6:rows * 9].view(np.int8).reshape(rows, 3)
+    n = n.astype(np.float32) / 127.0
+    if with_colors:
+        c = buf[rows * 9:rows * 12].reshape(rows, 3).astype(np.float32)
+        c /= 255.0
+    else:
+        c = np.full((rows, 3), 0.5, np.float32)
+    return v, n, c
+
+
 @functools.lru_cache(maxsize=8)
 def _intra_np_cached(V):
     r = np.arange(V)

@@ -81,3 +81,24 @@ def test_mesh_cap():
     mesher.generate_mesh(1)
     assert mesher.num_facelets == 10
     assert mesher.total_triangles > 10
+
+
+def test_quantized_delivery_matches_f32(sphere_mesh):
+    # the default "quantized" delivery (one 12-byte/vertex wire buffer)
+    # must reproduce the f32 arrays to quantization tolerance: 0.5 mm
+    # vertices, 1/127 normal components, 1/255 colors
+    m, mesher = sphere_mesh
+    assert mesher.delivery == "quantized"
+    ref = MarchingCubeMesher(m, max_triangles=20000, delivery="f32")
+    ref.generate_mesh(1)
+    n = mesher.num_facelets * 3
+    assert ref.num_facelets == mesher.num_facelets
+    assert np.max(np.abs(mesher.mesh_vertices[:n] -
+                         ref.mesh_vertices[:n])) <= 5.1e-4
+    assert np.max(np.abs(mesher.mesh_normals[:n] -
+                         ref.mesh_normals[:n])) <= 1.0 / 127 + 1e-6
+    assert np.max(np.abs(mesher.mesh_colors[:n] -
+                         ref.mesh_colors[:n])) <= 1.0 / 255 + 1e-6
+    # dead tail keeps the reference's -1e6 fill
+    assert np.all(mesher.mesh_vertices[n:] == -1000000.0) or \
+        len(mesher.mesh_vertices) == n

@@ -319,13 +319,24 @@ class DenseTSDF(BaseMap):
 
     def export_submap(self):
         s = time.time()
-        indices, tsdf, w_tsdf, occupy, color = self.to_numpy()
+        # packed single-fetch delivery: the five separate f32 fetches cost
+        # 5 RPCs and 2-3x the bytes on a remote-attached device; the wire
+        # dtypes (i16/f16/i8 — the same casts the reference applies host-
+        # side, dense_tsdf.py:462-476) are applied on-device instead
+        num = self.count_active()
+        cap = exports_ops.pow2_capacity(max(num, 1))
+        buf = exports_ops.sparse_gather_packed(
+            self.cfg, cap, self._export_block_bucket(), self.state,
+            jnp.int32(self.active_submap_id))
+        indices, tsdf, w_tsdf, occupy, color, _, _ = \
+            exports_ops.unpack_sparse_delivery(buf, cap,
+                                               self.enable_texture)
         obj = {
-            "indices": indices.astype(np.int16),
-            "TSDF": tsdf.astype(np.float16),
-            "W_TSDF": w_tsdf.astype(np.float16),
-            "color": color.astype(np.float16) if color.size else np.array([]),
-            "occupy": occupy.astype(np.int8),
+            "indices": indices,
+            "TSDF": tsdf,
+            "W_TSDF": w_tsdf,
+            "color": color if color.size else np.array([]),
+            "occupy": occupy,
             "map_scale": [self.map_size_xy, self.map_size_z],
             "voxel_scale": self.voxel_scale,
             "texture_enabled": self.enable_texture,

@@ -268,6 +268,56 @@ def sparse_gather(cfg: TSDFConfig, capacity: int, block_cap: int,
             kept, total)
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def sparse_gather_packed(cfg: TSDFConfig, capacity: int, block_cap: int,
+                         state: GridState, active_submap):
+    """:func:`sparse_gather` packed into ONE u8 wire buffer for a single
+    host fetch, already at the submap wire dtypes (export_submap's
+    schema, dense_tsdf.py:462-476: i16 indices, f16 TSDF/W_TSDF/color,
+    i8 occupy — 11 or 17 bytes/voxel instead of 24/36 across five f32
+    fetches). Layout: [4B kept i32 | cap*6 idx | cap*2 tsdf | cap*2 w |
+    cap occ | cap*6 color if textured]. Decode with
+    :func:`unpack_sparse_delivery`."""
+    idx, tsdf, w, occ, col, kept, total = sparse_gather(
+        cfg, capacity, block_cap, state, active_submap)
+    bc = jax.lax.bitcast_convert_type
+    parts = [
+        bc(jnp.stack([kept, total]), jnp.uint8).reshape(-1),
+        bc(jnp.clip(idx, -32767, 32767).astype(jnp.int16),
+           jnp.uint8).reshape(-1),
+        bc(tsdf.astype(jnp.float16), jnp.uint8).reshape(-1),
+        bc(w.astype(jnp.float16), jnp.uint8).reshape(-1),
+        bc(occ, jnp.uint8).reshape(-1),
+    ]
+    if cfg.texture_enabled:
+        parts.append(bc(col.astype(jnp.float16), jnp.uint8).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def unpack_sparse_delivery(buf, capacity: int, with_color: bool):
+    """Host-side inverse of :func:`sparse_gather_packed` (numpy views).
+    Returns (indices i16 (k,3), tsdf f16 (k,), w f16 (k,), occ i8 (k,),
+    color f16 (k,3) or empty, kept, total)."""
+    buf = np.asarray(buf)
+    kept, total = (int(x) for x in buf[:8].view(np.int32))
+    k = min(kept, capacity)
+    o = 8
+    idx = buf[o:o + capacity * 6].view(np.int16).reshape(capacity, 3)[:k]
+    o += capacity * 6
+    tsdf = buf[o:o + capacity * 2].view(np.float16)[:k]
+    o += capacity * 2
+    w = buf[o:o + capacity * 2].view(np.float16)[:k]
+    o += capacity * 2
+    occ = buf[o:o + capacity].view(np.int8)[:k]
+    o += capacity
+    if with_color:
+        col = buf[o:o + capacity * 6].view(np.float16).reshape(capacity,
+                                                               3)[:k]
+    else:
+        col = np.array([])
+    return idx, tsdf, w, occ, col, kept, total
+
+
 @partial(jax.jit, static_argnums=(0,))
 def sparse_scatter(cfg: TSDFConfig, state: GridState, submap_id, indices,
                    tsdf, w_tsdf, occ, color, n_valid):

@@ -195,6 +195,11 @@ class TSDFConfig:
     # sweep per p, class sweeps in between. 0 disables (default).
     esdf_scan_period: int = 0
 
+    # Debug/measurement only: run exactly ``max_sweeps`` sweeps with every
+    # slab active (no convergence early-exit, no activity gating) so sweep
+    # costs are measurable at a fixed count (tools/exp_drained.py).
+    esdf_force_sweeps: bool = False
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

@@ -31,7 +31,9 @@ per node), so forcing them into XLA would only add dispatch latency.
 from __future__ import annotations
 
 import time
+from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from scipy.spatial import ConvexHull
@@ -39,6 +41,28 @@ from scipy.spatial import ConvexHull
 from taichislam_tpu.models.dense_tsdf import DenseTSDF
 from taichislam_tpu.models.octomap import Octomap
 from taichislam_tpu.ops import raycast as rc_ops
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _packed_map_raycast(cfg, steps: int, is_octo: bool, state, sid, pos,
+                        dirs, maxd):
+    """Map raycast with results packed into ONE f32 buffer
+    [hit | length | hit_pos.flat] — a single host fetch instead of three
+    (each fetch is a full RPC on remote-attached devices)."""
+    fn = rc_ops.octomap_raycast if is_octo else rc_ops.tsdf_raycast
+    hit, hp, hl = fn(cfg, steps, state, sid, pos, dirs, maxd)
+    return jnp.concatenate([hit.astype(jnp.float32),
+                            hl.astype(jnp.float32),
+                            hp.astype(jnp.float32).reshape(-1)])
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _packed_map_query(cfg, is_octo: bool, state, sid, xyz):
+    """Point query packed into one buffer [occ | unobserved]."""
+    fn = rc_ops.octomap_point_query if is_octo else rc_ops.tsdf_point_query
+    occ, unobs = fn(cfg, state, sid, xyz)
+    return jnp.concatenate([occ.astype(jnp.float32),
+                            unobs.astype(jnp.float32)])
 
 
 def fibonacci_sphere(npoints: int) -> np.ndarray:
@@ -163,25 +187,20 @@ class TopoGraphGen:
     def _map_raycast(self, pos, dirs, max_dist):
         m = self.mapping
         steps = int(np.ceil((max_dist) / m.voxel_scale)) + 1
-        if isinstance(m, Octomap):
-            hit, hp, hl = rc_ops.octomap_raycast(
-                m.cfg, steps, m.state, jnp.int32(m.active_submap_id),
-                jnp.asarray(pos, jnp.float32), jnp.asarray(dirs, jnp.float32),
-                jnp.float32(max_dist))
-        else:
-            hit, hp, hl = rc_ops.tsdf_raycast(
-                m.cfg, steps, m.state, jnp.int32(m.active_submap_id),
-                jnp.asarray(pos, jnp.float32), jnp.asarray(dirs, jnp.float32),
-                jnp.float32(max_dist))
-        return np.asarray(hit), np.asarray(hp), np.asarray(hl)
+        buf = np.asarray(_packed_map_raycast(
+            m.cfg, steps, isinstance(m, Octomap), m.state,
+            jnp.int32(m.active_submap_id), jnp.asarray(pos, jnp.float32),
+            jnp.asarray(dirs, jnp.float32), jnp.float32(max_dist)))
+        n = len(np.atleast_2d(dirs))
+        return (buf[:n] > 0.5, buf[2 * n:].reshape(n, 3), buf[n:2 * n])
 
     def _map_query(self, xyz):
         m = self.mapping
-        fn = rc_ops.octomap_point_query if isinstance(m, Octomap) else \
-            rc_ops.tsdf_point_query
-        occ, unobs = fn(m.cfg, m.state, jnp.int32(m.active_submap_id),
-                        jnp.asarray(xyz, jnp.float32))
-        return np.asarray(occ), np.asarray(unobs)
+        buf = np.asarray(_packed_map_query(
+            m.cfg, isinstance(m, Octomap), m.state,
+            jnp.int32(m.active_submap_id), jnp.asarray(xyz, jnp.float32)))
+        n = len(np.atleast_2d(xyz))
+        return buf[:n] > 0.5, buf[n:] > 0.5
 
     def _facelet_raycast(self, pos, dirs, max_dist, backward_dist=-0.01,
                          skip_idx=-1):

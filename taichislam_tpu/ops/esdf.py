@@ -775,6 +775,8 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                           jnp.maximum(-max_ray_f, cand_hi))
         new = jnp.where(neg_side_h, new_n, new)
         changed = jnp.any(jnp.abs(new - esdf) > cfg.esdf_converge_eps)
+        if cfg.esdf_force_sweeps:       # measurement mode: no early exit
+            changed = jnp.bool_(True)
         return new, changed, it + 1, carry[3]
 
     if _use_pallas_sweep(cfg):
@@ -831,6 +833,9 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             changed = jnp.any(diff_rows)
             act_next = diff_rows | jnp.any(jnp.take(diff_rows, nslots),
                                            axis=0)
+            if cfg.esdf_force_sweeps:   # measurement mode: no gating
+                changed = jnp.bool_(True)
+                act_next = jnp.ones_like(act_next)
             return new, changed, it + 1, act_next
 
     def cond(carry):

@@ -78,19 +78,37 @@ def main():
         return run_all
 
     state = tsdf_ops.make_tsdf_state(base)
-    variants = [
-        ("budg3 ss=1 (primary ref)", dict(esdf_scan_sweeps=1), 3),
-        ("drained ss=1 p=0 (cur)  ", dict(esdf_scan_sweeps=1), 32),
-        ("drained ss=1 p=2        ", dict(esdf_scan_sweeps=1,
-                                          esdf_scan_period=2), 32),
-        ("drained ss=1 p=3        ", dict(esdf_scan_sweeps=1,
-                                          esdf_scan_period=3), 32),
-        ("drained ss=1 p=4        ", dict(esdf_scan_sweeps=1,
-                                          esdf_scan_period=4), 32),
-        ("drained ss=2 p=0        ", dict(esdf_scan_sweeps=2), 32),
-        ("drained ss=-1 (every)   ", dict(esdf_scan_sweeps=-1), 32),
-    ]
-    for label, kw, budget in variants:
+    if "--split" in sys.argv:
+        # fixed-count sweeps (esdf_force_sweeps: every slab active, no
+        # early exit); the ms/frame slope over the budget = per-sweep
+        # cost. "glue" variants patch the Pallas kernel to identity, so
+        # the slope isolates halo assembly + diff/act + while staging +
+        # pallas dispatch; real - glue = in-kernel VPU compute.
+        import taichislam_tpu.ops.pallas.esdf_sweep as ks
+        real_kernel = ks.esdf_sweep_pallas
+
+        def fake_kernel(esdf_h, *a, **kw):
+            return esdf_h
+        variants = []
+        for b in (8, 16, 24):
+            variants.append((f"forced real b={b:<2}       ",
+                             dict(esdf_force_sweeps=True), b, False))
+            variants.append((f"forced glue b={b:<2}       ",
+                             dict(esdf_force_sweeps=True), b, True))
+    else:
+        variants = [
+            ("budg3 ss=1 (primary ref)", dict(esdf_scan_sweeps=1), 3,
+             False),
+            ("drained ss=1 p=0 (cur)  ", dict(esdf_scan_sweeps=1), 32,
+             False),
+            ("drained ss=2 p=0        ", dict(esdf_scan_sweeps=2), 32,
+             False),
+            ("drained ss=-1 (every)   ", dict(esdf_scan_sweeps=-1), 32,
+             False),
+        ]
+    for label, kw, budget, fake in variants:
+        if "--split" in sys.argv:
+            ks.esdf_sweep_pallas = fake_kernel if fake else real_kernel
         cfg = dataclasses.replace(base, **kw)
         run = make_run(cfg, budget)
         s, ov, sw = run(state, frames_j, Rs_j, Ts_j)

@@ -112,8 +112,9 @@ class DenseESDF(DenseTSDF):
              stats) = seq_ops.integrate_esdf_sequence(
                 self._sequence_cfg(), budget, cap, *snap, depths, tex,
                 R_j, T_j, K, Kc, jnp.int32(self.active_submap_id))
-            redo = self._sequence_verdict(stats)
-            ov = int(stats["max_esdf_overflow"])
+            redo = self._sequence_verdict(
+                stats, extra_keys=("max_esdf_overflow",))
+            ov = self._verdict_extra[0]
             if ov > 0:
                 grown = cap
                 while grown < cap + ov:

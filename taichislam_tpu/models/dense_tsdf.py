@@ -174,13 +174,18 @@ class DenseTSDF(BaseMap):
             cfg = dataclasses.replace(cfg, max_touched_blocks=tb)
         return cfg
 
-    def _sequence_verdict(self, stats):
+    def _sequence_verdict(self, stats, extra_keys=()):
         """ONE host readback for the window; grow buckets on any capacity
-        miss. Returns True when the window must be redone."""
-        pack = np.asarray(jnp.stack([stats["max_bins_total"],
-                                     stats["max_dropped"],
-                                     stats["max_live_lanes"]]))
-        bins_total, dropped, _live = (int(x) for x in pack)
+        miss. Returns True when the window must be redone. ``extra_keys``
+        ride the same packed fetch (each separate int(stat) is a full RPC
+        on remote-attached devices); their values land in
+        ``self._verdict_extra`` in order."""
+        pack = np.asarray(jnp.stack(
+            [stats["max_bins_total"], stats["max_dropped"],
+             stats["max_live_lanes"]] +
+            [stats[k] for k in extra_keys]))
+        bins_total, dropped, _live = (int(x) for x in pack[:3])
+        self._verdict_extra = [int(x) for x in pack[3:]]
         redo = False
         if dropped > 0:
             # any capacity miss (bins / touched tiles / lanes / alloc):

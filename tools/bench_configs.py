@@ -134,7 +134,7 @@ def main():
                        esdf_raise_slack_voxels=0.5, **opts)
     esdf_w.cfg = dataclasses.replace(esdf_w.cfg, esdf_converge_eps=2e-3)
     esdf_w.set_dep_camera_intrinsic(K)
-    W = max(1, min(10, n))
+    W = max(1, min(20, n))
 
     def run_esdf_seq():
         for i in range(0, n, W):

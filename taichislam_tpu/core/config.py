@@ -200,6 +200,15 @@ class TSDFConfig:
     # costs are measurable at a fixed count (tools/exp_drained.py).
     esdf_force_sweeps: bool = False
 
+    # Whole-while-loop-in-one-kernel ESDF (ops/pallas/esdf_sweep.py
+    # esdf_sweep_loop_pallas): sweeps, halo exchange, and convergence run
+    # inside a single pallas_call with the field VMEM-resident. Measured:
+    # the orchestrated per-sweep design pays 0.28 ms/sweep of pure XLA
+    # glue (identity kernel == real kernel cost). "auto" = on TPU when
+    # the working set fits VMEM; "on" forces (interpret mode off-TPU,
+    # tests only); "off" keeps the per-sweep orchestration.
+    esdf_loop_kernel: str = "auto"
+
     @property
     def tsdf_surface_thres(self) -> float:
         return self.voxel_scale * 1.8

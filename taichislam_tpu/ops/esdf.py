@@ -430,6 +430,29 @@ def _use_pallas_sweep(cfg: TSDFConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_loop_kernel(cfg: TSDFConfig, max_sweeps: int, NROWS: int,
+                     V: int) -> bool:
+    """Gate for the whole-loop-in-one-kernel path: needs the Pallas sweep
+    enabled, a real sweep budget, and the field to fit VMEM (the kernel
+    keeps the (NROWS, V+2, (V+2)^2) f32 field resident; its padded size
+    must leave room for the enc double-buffer and compute temporaries).
+    "auto" engages on TPU only — interpret mode unrolls the whole grid
+    into the trace, so off-TPU it is for tiny dedicated tests ("on")."""
+    if cfg.esdf_loop_kernel == "off" or cfg.esdf_force_sweeps:
+        return False
+    if not _use_pallas_sweep(cfg):
+        return False
+    if max_sweeps < 2:
+        return False
+    W = V + 2
+    padded = NROWS * (-(-W // 8) * 8) * (-(-(W * W) // 128) * 128) * 4
+    if padded > 12 * 2 ** 20:
+        return False
+    if cfg.esdf_loop_kernel == "on":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 @partial(jax.jit, static_argnums=(0, 5))
 def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
                     touched_cap: int = 512):
@@ -844,7 +867,27 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
 
     carry0 = (esdf0_h, jnp.bool_(True), jnp.int32(0),
               jnp.ones((NROWS,), bool))
-    if max_sweeps <= 4:
+    if _use_loop_kernel(cfg, max_sweeps, NROWS, V):
+        # whole loop in ONE kernel: sweeps + in-VMEM halo exchange +
+        # convergence (see esdf_sweep_loop_pallas). Eliminates the
+        # measured 0.28 ms/sweep of per-sweep XLA glue (halo gather
+        # passes, diff/activity reductions, while carry staging,
+        # dispatch) — tools/exp_drained.py --split.
+        from taichislam_tpu.ops.pallas.esdf_sweep import \
+            esdf_sweep_loop_pallas
+        nsl_face = jnp.stack([nslots[c] for c in
+                              (_C_IM, _C_IP, _C_JM, _C_JP, _C_KM, _C_KP)])
+        ss = max_sweeps if cfg.esdf_scan_sweeps < 0 else \
+            cfg.esdf_scan_sweeps
+        esdf_h, lstats = esdf_sweep_loop_pallas(
+            esdf0_h, enc_hh, nsl_face, updatable.astype(jnp.int32),
+            V=V, v1=float(cfg.voxel_scale), gamma=float(gamma),
+            eps=float(eps_py), eps_conv=float(cfg.esdf_converge_eps),
+            max_ray=float(max_ray), max_sweeps=int(max_sweeps),
+            scan_sweeps=int(ss), scan_period=int(cfg.esdf_scan_period),
+            interpret=jax.default_backend() != "tpu")
+        sweeps = lstats[0]
+    elif max_sweeps <= 4:
         # unrolled: a while op costs ~0.2 ms/frame in carry staging alone
         # at this size; for small budgets run the sweeps straight-line.
         # Converged-early sweeps self-gate (all slabs inactive -> the

@@ -64,14 +64,26 @@ def _kernel(esdf_ref, enc_ref, side_ref, act_ref, out_ref, *,
 def _sweep_body(esdf_ref, enc_ref, side_ref, out_ref, *,
                 W: int, R: int, v1: float, gamma: float, eps: float,
                 max_ray: float, with_scans: bool):
-    L = W * W
     h = esdf_ref[...]                       # (R, W, L) f32
+    enc = enc_ref[...]                      # (R, W, L) f32, halo-assembled
+    side_f = side_ref[...].astype(jnp.float32)  # +1 pos side, -1 neg side
+    out_ref[...] = _sweep_math(h, enc, side_f, W=W, v1=v1, gamma=gamma,
+                               eps=eps, max_ray=max_ray,
+                               with_scans=with_scans)
+
+
+def _sweep_math(h, enc, side_f, *, W: int, v1: float, gamma: float,
+                eps: float, max_ray: float, with_scans: bool):
+    """One relaxation-sweep update of a slab: pure array math shared by the
+    single-sweep kernel and the fused loop kernel (esdf_sweep_loop_pallas).
+    ``h``/``enc`` are (R, W, W²) with halos assembled; ``side_f`` is the
+    ±1/0 interior update-side mask as f32."""
+    R = h.shape[0]
+    L = W * W
     # masks stay f32 0/1 arithmetic: i8 tiles are (32, 128) vs f32 (8, 128),
     # and comparisons across the two layouts produce i1 vectors Mosaic
     # cannot relayout ("(0,0)" -> replicated). Source/fixed/observed masks
     # derive on-chip from the single encoded channel (see ENC_BIG).
-    enc = enc_ref[...]                      # (R, W, L) f32, halo-assembled
-    side_f = side_ref[...].astype(jnp.float32)  # +1 pos side, -1 neg side
     gammaf = jnp.float32(gamma)
     obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5), 1.0, 0.0)
     tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
@@ -79,8 +91,13 @@ def _sweep_body(esdf_ref, enc_ref, side_ref, out_ref, *,
     psrc_f = jnp.where(tsdf >= gammaf, obs_f, fixed_f)
     nsrc_f = jnp.where(tsdf <= -gammaf, obs_f, fixed_f)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (R, W, L), 2)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (R, W, L), 1)
+    # iotas take the ARRAY shape (which may carry tile padding beyond
+    # (W, W²) — the loop kernel works on physically-padded slabs so DMAs
+    # stay tile-aligned); the lane→(i,k) arithmetic keeps the logical W.
+    # Pad positions are harmless by construction: their enc is ENC_BIG,
+    # so they are non-sources (lo=BIG/hi=-BIG) and non-sides.
+    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
     k_id = lane % W
     i_id = lane // W
 
@@ -193,7 +210,235 @@ def _sweep_body(esdf_ref, enc_ref, side_ref, out_ref, *,
     new_n = jnp.where(cand_hi >= h - epsf, jnp.maximum(h, cand_hi),
                       jnp.maximum(-mrf, cand_hi))
     new = jnp.where(side_f < -0.5, new_n, new)
-    out_ref[...] = new
+    return new
+
+
+# ---------------------------------------------------------------------------
+# whole-while-loop-in-one-kernel: sweeps + halo exchange + convergence all
+# inside a single pallas_call, the field VMEM-resident across sweeps.
+#
+# Measured motivation (tools/exp_drained.py --split, v5e): with the
+# orchestrated per-sweep design the ENTIRE 0.28 ms/sweep cost is XLA glue —
+# an identity kernel times the same as the real one. Halo assembly (6
+# gather passes over the full working set), the diff/activity reductions,
+# while-loop carry staging, and per-call dispatch all disappear when the
+# loop lives in the kernel; per-sweep cost drops to the VPU stencil work.
+# ---------------------------------------------------------------------------
+
+
+def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
+                 fld, encb, sems, st, *, W: int, R: int, NSLAB: int,
+                 v1: float, gamma: float, eps: float, eps_conv: float,
+                 max_ray: float, scan_sweeps: int, scan_period: int):
+    """Grid (S, 4, NSLAB): phases 0/1/2 = i/j/k halo-shell passes (the same
+    axis-sequential exchange as ops/esdf.py _assemble_sweep, so diagonals
+    arrive through face reads of earlier-phase shells), phase 3 = the sweep
+    body per 8-row slab. The field lives in VMEM scratch ``fld`` for the
+    whole call; ``enc`` streams per-slab from HBM through a double buffer.
+    Convergence: a sweep with no voxel moving more than ``eps_conv`` sets
+    the quiet flag and every later step passes through (exact while-loop
+    semantics at a fixed grid size)."""
+    s = pl.program_id(0)
+    p = pl.program_id(1)
+    n = pl.program_id(2)
+    S = pl.num_programs(0)
+    V = W - 2
+    L = W * W
+
+    # st: [quiet, changed_this_sweep, sweeps_run]
+    @pl.when((s == 0) & (p == 0) & (n == 0))
+    def _init():
+        st[0] = 0
+        st[1] = 0
+        st[2] = 0
+        cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
+        cp.start()
+        cp.wait()
+
+    active = st[0] == 0
+    g0 = n * R
+
+    @pl.when(active & (p == 0))
+    def _shells_i():
+        for r in range(R):
+            g = g0 + r
+            im = nsl_ref[0, g]
+            fld[pl.ds(g, 1), :, 0:W] = fld[pl.ds(im, 1), :,
+                                           V * W:(V + 1) * W]
+            ip = nsl_ref[1, g]
+            fld[pl.ds(g, 1), :, (V + 1) * W:(V + 2) * W] = \
+                fld[pl.ds(ip, 1), :, W:2 * W]
+
+    @pl.when(active & (p == 1))
+    def _shells_j():
+        for r in range(R):
+            g = g0 + r
+            jm = nsl_ref[2, g]
+            fld[pl.ds(g, 1), 0:1, :] = fld[pl.ds(jm, 1), V:V + 1, :]
+            jp = nsl_ref[3, g]
+            fld[pl.ds(g, 1), V + 1:V + 2, :] = fld[pl.ds(jp, 1), 1:2, :]
+
+    @pl.when(active & (p == 2))
+    def _shells_k():
+        Wp, Lp = fld.shape[1], fld.shape[2]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, Lp), 2)
+        k_id = lane % W
+        m0 = k_id == 0
+        m1 = (k_id == W - 1) & (lane < L)
+        for r in range(R):
+            g = g0 + r
+            km = nsl_ref[4, g]
+            rkm = fld[pl.ds(km, 1)]
+            cur = fld[pl.ds(g, 1)]
+            # +V lane shift aligns neighbor k'=V onto our k=0 lanes
+            sh = jnp.concatenate(
+                [rkm[..., V:], jnp.zeros((1, Wp, V), jnp.float32)],
+                axis=-1)
+            cur = jnp.where(m0, sh, cur)
+            kp = nsl_ref[5, g]
+            rkp = fld[pl.ds(kp, 1)]
+            sh = jnp.concatenate(
+                [jnp.zeros((1, Wp, V), jnp.float32), rkp[..., :Lp - V]],
+                axis=-1)
+            cur = jnp.where(m1, sh, cur)
+            fld[pl.ds(g, 1)] = cur
+        # prefetch the first slab's enc for this sweep's compute phase
+        @pl.when(n == NSLAB - 1)
+        def _pf0():
+            cp = pltpu.make_async_copy(enc_any.at[pl.ds(0, R)],
+                                       encb.at[pl.ds(0, R)], sems.at[0])
+            cp.start()
+
+    @pl.when(active & (p == 3))
+    def _compute():
+        buf = (n % 2) * R
+        pltpu.make_async_copy(enc_any.at[pl.ds(n * R, R)],
+                              encb.at[pl.ds(buf, R)],
+                              sems.at[n % 2]).wait()
+
+        @pl.when(n + 1 < NSLAB)
+        def _pf_next():
+            nb = ((n + 1) % 2) * R
+            cp = pltpu.make_async_copy(enc_any.at[pl.ds((n + 1) * R, R)],
+                                       encb.at[pl.ds(nb, R)],
+                                       sems.at[(n + 1) % 2])
+            cp.start()
+
+        h = fld[pl.ds(g0, R)]
+        enc = encb[pl.ds(buf, R)]
+        # interior update-side mask derived on-chip: ±1 on observed,
+        # non-fixed interior voxels of updatable rows (sign = TSDF side),
+        # 0 elsewhere — replaces the separate side channel of the
+        # single-sweep kernel (and its XLA-side assembly)
+        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
+        sub = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+        k_id = lane % W
+        i_id = lane // W
+        inter = jnp.where(
+            (lane < L) & (i_id >= 1) & (i_id <= V) & (sub >= 1) &
+            (sub <= V) & (k_id >= 1) & (k_id <= V), 1.0, 0.0)
+        updm = jnp.zeros(h.shape, jnp.float32)
+        for r in range(R):
+            updm += jnp.where(
+                (row == r) & (upd_ref[g0 + r] > 0), 1.0, 0.0)
+        obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5), 1.0, 0.0)
+        tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
+        fixed_f = jnp.where(jnp.abs(tsdf) < jnp.float32(gamma), obs_f, 0.0)
+        sgn = jnp.where(tsdf >= 0.0, 1.0, -1.0)
+        side_f = sgn * obs_f * (1.0 - fixed_f) * inter * updm
+
+        pred = s < scan_sweeps
+        if scan_period > 0:
+            pred |= s % scan_period == 0
+
+        def run(with_scans):
+            def f():
+                new = _sweep_math(h, enc, side_f, W=W, v1=v1, gamma=gamma,
+                                  eps=eps, max_ray=max_ray,
+                                  with_scans=with_scans)
+                fld[pl.ds(g0, R)] = new
+                chg = jnp.any(jnp.abs(new - h) > jnp.float32(eps_conv))
+                @pl.when(chg)
+                def _mark():
+                    st[1] = 1
+            return f
+        pl.when(pred)(run(True))
+        pl.when(jnp.logical_not(pred))(run(False))
+
+        @pl.when(n == NSLAB - 1)
+        def _sweep_end():
+            st[2] = st[2] + 1
+            st[0] = jnp.where(st[1] == 0, 1, 0)
+            st[1] = 0
+
+    @pl.when((s == S - 1) & (p == 3) & (n == NSLAB - 1))
+    def _finish():
+        cp = pltpu.make_async_copy(fld, out_any, sems.at[2])
+        cp.start()
+        cp.wait()
+        stats_ref[0] = st[2]
+        stats_ref[1] = 1 - st[0]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "V", "v1", "gamma", "eps", "eps_conv", "max_ray", "max_sweeps",
+    "scan_sweeps", "scan_period", "interpret"))
+def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
+                           v1: float, gamma: float, eps: float,
+                           eps_conv: float, max_ray: float,
+                           max_sweeps: int, scan_sweeps: int = 1,
+                           scan_period: int = 0, interpret: bool = False):
+    """Run up to ``max_sweeps`` relaxation sweeps (halo exchange included)
+    in ONE kernel. ``esdf_h`` needs valid interiors only (shells are
+    assembled in-kernel every sweep); ``enc_hh`` is the halo-assembled
+    encoded TSDF/participation channel; ``nsl_face`` is the (6, N)
+    compact-space face-neighbor row table [i-, i+, j-, j+, k-, k+]
+    (garbage row for missing neighbors — its enc must be ENC_BIG);
+    ``upd_rows`` is the (N,) i32 updatable-row mask. Returns
+    (esdf_out, stats) with stats = [sweeps_run, changed_at_exit] i32."""
+    N = esdf_h.shape[0]
+    W = V + 2
+    R = 8
+    assert N % R == 0
+    NSLAB = N // R
+    # DMAs require tile-aligned slices, so the kernel works on the
+    # physically-padded shape (N, Wp, Lp) — identical HBM/VMEM footprint
+    # to the tiled (N, W, W²) arrays. Pad lanes/rows are neutral: enc pad
+    # = ENC_BIG marks them non-participating (non-source, side 0), and
+    # the field's value at non-sources is never consumed.
+    Wp = -(-W // 8) * 8
+    Lp = -(-(W * W) // 128) * 128
+    pad = ((0, 0), (0, Wp - W), (0, Lp - W * W))
+    esdf_p = jnp.pad(esdf_h, pad)
+    enc_p = jnp.pad(enc_hh, pad, constant_values=ENC_BIG)
+    grid = (max_sweeps, 4, NSLAB)
+    kern = functools.partial(
+        _loop_kernel, W=W, R=R, NSLAB=NSLAB, v1=float(v1),
+        gamma=float(gamma), eps=float(eps), eps_conv=float(eps_conv),
+        max_ray=float(max_ray), scan_sweeps=int(scan_sweeps),
+        scan_period=int(scan_period))
+    out, stats = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct(esdf_p.shape, jnp.float32),
+                   jax.ShapeDtypeStruct((2,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((N, Wp, Lp), jnp.float32),      # fld
+            pltpu.VMEM((2 * R, Wp, Lp), jnp.float32),  # enc double buffer
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SMEM((3,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), esdf_p,
+      enc_p)
+    return out[:, :W, :W * W], stats
 
 
 @functools.partial(jax.jit, static_argnames=("V", "v1", "gamma", "eps",

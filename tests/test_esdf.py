@@ -508,3 +508,39 @@ def test_esdf_window_mode_matches_block():
     err2 = np.abs(np.where(p, np.asarray(e2) - np.asarray(ref_e), 0.0)).max()
     assert err2 < 2e-4
     assert not bool(np.any(np.asarray(changed2)))
+
+
+def test_pallas_loop_kernel_matches_per_sweep():
+    """The whole-loop-in-one-kernel path (esdf_sweep_loop_pallas,
+    interpret mode on CPU) runs the SAME Jacobi schedule as the
+    orchestrated per-sweep pallas path — shells assembled from the
+    previous sweep's interiors, then a full Jacobi recompute — so after
+    an identical sweep budget the fields must agree bitwise."""
+    import dataclasses
+    import jax.numpy as jnp
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = _make_wall_map(slack=0.0)
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
+    zeros_e = jnp.zeros(shape, jnp.float32)
+    zeros_f = jnp.zeros(shape, jnp.int8)
+
+    # small cap + small budget keep the interpret-mode grid tractable
+    cfg_p = dataclasses.replace(m.cfg, pallas_esdf="on",
+                                esdf_loop_kernel="off")
+    cfg_l = dataclasses.replace(m.cfg, pallas_esdf="on",
+                                esdf_loop_kernel="on")
+    for budget in (2, 6):
+        ep, fp, pp, swp, chp, ovp = esdf_ops.esdf_update(
+            cfg_p, budget, 64, m.state, zeros_e, zeros_f, jnp.int32(0))
+        el, fl, plm, swl, chl, ovl = esdf_ops.esdf_update(
+            cfg_l, budget, 64, m.state, zeros_e, zeros_f, jnp.int32(0))
+        assert int(ovp) == 0 and int(ovl) == 0
+        assert int(swp) == int(swl), (int(swp), int(swl))
+        p = np.asarray(pp)
+        err = np.abs(np.where(p, np.asarray(ep) - np.asarray(el),
+                              0.0)).max()
+        # identical schedule and math; tolerance covers XLA fusing
+        # FMA/contractions differently across the two graphs (~1 ulp)
+        assert err < 1e-6, f"loop kernel vs per-sweep max err {err}"
+        np.testing.assert_array_equal(np.asarray(chp), np.asarray(chl))

@@ -324,44 +324,58 @@ def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
                                        sems.at[(n + 1) % 2])
             cp.start()
 
-        h = fld[pl.ds(g0, R)]
-        enc = encb[pl.ds(buf, R)]
-        # interior update-side mask derived on-chip: ±1 on observed,
-        # non-fixed interior voxels of updatable rows (sign = TSDF side),
-        # 0 elsewhere — replaces the separate side channel of the
-        # single-sweep kernel (and its XLA-side assembly)
-        lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
-        sub = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-        k_id = lane % W
-        i_id = lane // W
-        inter = jnp.where(
-            (lane < L) & (i_id >= 1) & (i_id <= V) & (sub >= 1) &
-            (sub <= V) & (k_id >= 1) & (k_id <= V), 1.0, 0.0)
-        updm = jnp.zeros(h.shape, jnp.float32)
-        for r in range(R):
-            updm += jnp.where(
-                (row == r) & (upd_ref[g0 + r] > 0), 1.0, 0.0)
-        obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5), 1.0, 0.0)
-        tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
-        fixed_f = jnp.where(jnp.abs(tsdf) < jnp.float32(gamma), obs_f, 0.0)
-        sgn = jnp.where(tsdf >= 0.0, 1.0, -1.0)
-        side_f = sgn * obs_f * (1.0 - fixed_f) * inter * updm
-
         pred = s < scan_sweeps
         if scan_period > 0:
             pred |= s % scan_period == 0
 
+        # the sweep math holds ~40 live (rows, Wp, Lp) temporaries in
+        # Mosaic's VMEM stack (the scan chains); at 8 rows that stack
+        # plus the resident field overflows VMEM, so compute runs in
+        # row CHUNKS — exact, since every sweep-math op acts within a
+        # row (i/k = lane shifts, j = sublane shifts; nothing crosses
+        # the leading dim)
+        RC = 2
+
         def run(with_scans):
             def f():
-                new = _sweep_math(h, enc, side_f, W=W, v1=v1, gamma=gamma,
-                                  eps=eps, max_ray=max_ray,
-                                  with_scans=with_scans)
-                fld[pl.ds(g0, R)] = new
-                chg = jnp.any(jnp.abs(new - h) > jnp.float32(eps_conv))
-                @pl.when(chg)
-                def _mark():
-                    st[1] = 1
+                for c in range(0, R, RC):
+                    h = fld[pl.ds(g0 + c, RC)]
+                    enc = encb[pl.ds(buf + c, RC)]
+                    # interior update-side mask derived on-chip: ±1 on
+                    # observed, non-fixed interior voxels of updatable
+                    # rows (sign = TSDF side) — replaces the separate
+                    # side channel of the single-sweep kernel
+                    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
+                    sub = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+                    row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
+                    k_id = lane % W
+                    i_id = lane // W
+                    inter = jnp.where(
+                        (lane < L) & (i_id >= 1) & (i_id <= V) &
+                        (sub >= 1) & (sub <= V) & (k_id >= 1) &
+                        (k_id <= V), 1.0, 0.0)
+                    updm = jnp.zeros(h.shape, jnp.float32)
+                    for r in range(RC):
+                        updm += jnp.where(
+                            (row == r) & (upd_ref[g0 + c + r] > 0), 1.0,
+                            0.0)
+                    obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5),
+                                      1.0, 0.0)
+                    tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
+                    fixed_f = jnp.where(jnp.abs(tsdf) < jnp.float32(gamma),
+                                        obs_f, 0.0)
+                    sgn = jnp.where(tsdf >= 0.0, 1.0, -1.0)
+                    side_f = sgn * obs_f * (1.0 - fixed_f) * inter * updm
+                    new = _sweep_math(h, enc, side_f, W=W, v1=v1,
+                                      gamma=gamma, eps=eps,
+                                      max_ray=max_ray,
+                                      with_scans=with_scans)
+                    fld[pl.ds(g0 + c, RC)] = new
+                    chg = jnp.any(jnp.abs(new - h) >
+                                  jnp.float32(eps_conv))
+                    @pl.when(chg)
+                    def _mark():
+                        st[1] = 1
             return f
         pl.when(pred)(run(True))
         pl.when(jnp.logical_not(pred))(run(False))
@@ -423,9 +437,9 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct(esdf_p.shape, jnp.float32),
                    jax.ShapeDtypeStruct((2,), jnp.int32)],

@@ -95,6 +95,14 @@ def main():
                              dict(esdf_force_sweeps=True), b, False))
             variants.append((f"forced glue b={b:<2}       ",
                              dict(esdf_force_sweeps=True), b, True))
+    elif "--cadence" in sys.argv:
+        # loop-kernel cadence sweep: periodic scans trade per-sweep VPU
+        # cost for fewer total sweeps (cross-block propagation speedup)
+        variants = [
+            (f"drained ss=1 p={p}      ",
+             dict(esdf_scan_sweeps=1, esdf_scan_period=p), 32, False)
+            for p in (0, 3, 4, 6, 8)
+        ]
     else:
         variants = [
             ("budg3 ss=1 (primary ref)", dict(esdf_scan_sweeps=1), 3,

@@ -875,12 +875,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         # dispatch) — tools/exp_drained.py --split.
         from taichislam_tpu.ops.pallas.esdf_sweep import \
             esdf_sweep_loop_pallas
-        nsl_face = jnp.stack([nslots[c] for c in
-                              (_C_IM, _C_IP, _C_JM, _C_JP, _C_KM, _C_KP)])
         ss = max_sweeps if cfg.esdf_scan_sweeps < 0 else \
             cfg.esdf_scan_sweeps
         esdf_h, lstats = esdf_sweep_loop_pallas(
-            esdf0_h, enc_hh, nsl_face, updatable.astype(jnp.int32),
+            esdf0_h, enc_hh, nslots, updatable.astype(jnp.int32),
             V=V, v1=float(cfg.voxel_scale), gamma=float(gamma),
             eps=float(eps_py), eps_conv=float(cfg.esdf_converge_eps),
             max_ray=float(max_ray), max_sweeps=int(max_sweeps),

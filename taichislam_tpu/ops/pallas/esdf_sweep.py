@@ -226,10 +226,11 @@ def _sweep_math(h, enc, side_f, *, W: int, v1: float, gamma: float,
 # ---------------------------------------------------------------------------
 
 
-def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
-                 fld, encb, sems, st, *, W: int, R: int, NSLAB: int,
-                 v1: float, gamma: float, eps: float, eps_conv: float,
-                 max_ray: float, scan_sweeps: int, scan_period: int):
+def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
+                 stats_ref, fld, encb, sems, st, slabchg, acts, *, W: int,
+                 R: int, NSLAB: int, v1: float, gamma: float, eps: float,
+                 eps_conv: float, max_ray: float, scan_sweeps: int,
+                 scan_period: int):
     """Grid (S, 4, NSLAB): phases 0/1/2 = i/j/k halo-shell passes (the same
     axis-sequential exchange as ops/esdf.py _assemble_sweep, so diagonals
     arrive through face reads of earlier-phase shells), phase 3 = the sweep
@@ -251,6 +252,9 @@ def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
         st[0] = 0
         st[1] = 0
         st[2] = 0
+        for m in range(NSLAB):
+            acts[m] = 1
+            slabchg[m] = 0
         cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
         cp.start()
         cp.wait()
@@ -376,15 +380,29 @@ def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
                     @pl.when(chg)
                     def _mark():
                         st[1] = 1
+                        slabchg[n] = 1
             return f
-        pl.when(pred)(run(True))
-        pl.when(jnp.logical_not(pred))(run(False))
+        # per-slab activity gate (same wavefront the orchestrated path's
+        # slab_act gives): a slab recomputes only while a slab holding
+        # some row of its updatable rows' 26-neighborhoods changed last
+        # sweep. Skipping is exact — unchanged inputs recompute to the
+        # same values. adj is precomputed outside (see caller).
+        slab_on = acts[n] != 0
+        pl.when(pred & slab_on)(run(True))
+        pl.when(jnp.logical_not(pred) & slab_on)(run(False))
 
         @pl.when(n == NSLAB - 1)
         def _sweep_end():
             st[2] = st[2] + 1
             st[0] = jnp.where(st[1] == 0, 1, 0)
             st[1] = 0
+            for m in range(NSLAB):
+                acc = slabchg[0] * adj_ref[m * NSLAB]
+                for m2 in range(1, NSLAB):
+                    acc = acc | (slabchg[m2] * adj_ref[m * NSLAB + m2])
+                acts[m] = acc
+            for m in range(NSLAB):
+                slabchg[m] = 0
 
     @pl.when((s == S - 1) & (p == 3) & (n == NSLAB - 1))
     def _finish():
@@ -398,7 +416,7 @@ def _loop_kernel(nsl_ref, upd_ref, esdf_any, enc_any, out_any, stats_ref,
 @functools.partial(jax.jit, static_argnames=(
     "V", "v1", "gamma", "eps", "eps_conv", "max_ray", "max_sweeps",
     "scan_sweeps", "scan_period", "interpret"))
-def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
+def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
                            v1: float, gamma: float, eps: float,
                            eps_conv: float, max_ray: float,
                            max_sweeps: int, scan_sweeps: int = 1,
@@ -406,16 +424,34 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
     """Run up to ``max_sweeps`` relaxation sweeps (halo exchange included)
     in ONE kernel. ``esdf_h`` needs valid interiors only (shells are
     assembled in-kernel every sweep); ``enc_hh`` is the halo-assembled
-    encoded TSDF/participation channel; ``nsl_face`` is the (6, N)
-    compact-space face-neighbor row table [i-, i+, j-, j+, k-, k+]
-    (garbage row for missing neighbors — its enc must be ENC_BIG);
-    ``upd_rows`` is the (N,) i32 updatable-row mask. Returns
-    (esdf_out, stats) with stats = [sweeps_run, changed_at_exit] i32."""
+    encoded TSDF/participation channel; ``nsl27`` is the (27, N)
+    compact-space neighbor row table in flattened 3x3x3 order (garbage
+    row for missing neighbors — its enc must be ENC_BIG); ``upd_rows``
+    is the (N,) i32 updatable-row mask. Returns (esdf_out, stats) with
+    stats = [sweeps_run, changed_at_exit] i32."""
     N = esdf_h.shape[0]
     W = V + 2
     R = 8
     assert N % R == 0
     NSLAB = N // R
+    # face-neighbor table for the in-kernel halo-shell passes
+    # (flat-3x3x3 columns: i-=4, i+=22, j-=10, j+=16, k-=12, k+=14)
+    nsl_face = nsl27[jnp.array([4, 22, 10, 16, 12, 14])]
+    # slab-adjacency for the per-slab activity gate: adj[m, m2] = 1 iff
+    # slab m has an updatable row with some 26-neighbor (or itself) in
+    # slab m2 — built with one-hot matmuls (tiny MXU work, no scatter)
+    slab_of = jnp.arange(N, dtype=jnp.int32) // R
+    nbr_slab = jnp.take(slab_of, nsl27)                      # (27, N)
+    src_m = jnp.where(upd_rows.astype(bool), slab_of, NSLAB)
+    a_src = (src_m[:, None] ==
+             jnp.arange(NSLAB, dtype=jnp.int32)[None, :]).astype(
+                 jnp.float32)                                # (N, NSLAB)
+    nbr_oh = (nbr_slab[:, :, None] ==
+              jnp.arange(NSLAB, dtype=jnp.int32)[None, None, :]).astype(
+                  jnp.float32).sum(axis=0)                   # (N, NSLAB)
+    adj = (jnp.dot(a_src.T, nbr_oh,
+                   preferred_element_type=jnp.float32) > 0.5)
+    adj = adj.astype(jnp.int32).reshape(-1)                  # (NSLAB²,)
     # DMAs require tile-aligned slices, so the kernel works on the
     # physically-padded shape (N, Wp, Lp) — identical HBM/VMEM footprint
     # to the tiled (N, W, W²) arrays. Pad lanes/rows are neutral: enc pad
@@ -437,6 +473,7 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
@@ -448,10 +485,12 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl_face, upd_rows, *, V: int,
             pltpu.VMEM((2 * R, Wp, Lp), jnp.float32),  # enc double buffer
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM((NSLAB,), jnp.int32),           # slabchg
+            pltpu.SMEM((NSLAB,), jnp.int32),           # acts
         ],
         interpret=interpret,
-    )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), esdf_p,
-      enc_p)
+    )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), adj,
+      esdf_p, enc_p)
     return out[:, :W, :W * W], stats
 
 

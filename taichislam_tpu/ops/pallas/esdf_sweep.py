@@ -226,11 +226,11 @@ def _sweep_math(h, enc, side_f, *, W: int, v1: float, gamma: float,
 # ---------------------------------------------------------------------------
 
 
-def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
-                 stats_ref, fld, encb, sems, st, slabchg, acts, *, W: int,
-                 R: int, NSLAB: int, v1: float, gamma: float, eps: float,
-                 eps_conv: float, max_ray: float, scan_sweeps: int,
-                 scan_period: int):
+def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
+                 out_any, stats_ref, fld, encb, sems, st, slabchg, acts,
+                 shellact, *, W: int, R: int, NSLAB: int, v1: float,
+                 gamma: float, eps: float, eps_conv: float, max_ray: float,
+                 scan_sweeps: int, scan_period: int):
     """Grid (S, 4, NSLAB): phases 0/1/2 = i/j/k halo-shell passes (the same
     axis-sequential exchange as ops/esdf.py _assemble_sweep, so diagonals
     arrive through face reads of earlier-phase shells), phase 3 = the sweep
@@ -254,6 +254,7 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
         st[2] = 0
         for m in range(NSLAB):
             acts[m] = 1
+            shellact[m] = 1
             slabchg[m] = 0
         cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
         cp.start()
@@ -261,8 +262,16 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
 
     active = st[0] == 0
     g0 = n * R
+    # halo-shell passes are gated one 27-hop WIDER than compute (shellact):
+    # a computed row's diagonal halo values travel through its neighbor
+    # rows' shells across the three axis-sequential phases, so every row
+    # in the 27-neighborhood of an active slab must refresh its shells;
+    # rows farther out keep stale shells that nothing reads until their
+    # neighborhood reactivates — at which point this gate refreshes them
+    # before compute. Interiors are always current (written on change).
+    shell_on = active & (shellact[n] != 0)
 
-    @pl.when(active & (p == 0))
+    @pl.when(shell_on & (p == 0))
     def _shells_i():
         for r in range(R):
             g = g0 + r
@@ -273,7 +282,7 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
             fld[pl.ds(g, 1), :, (V + 1) * W:(V + 2) * W] = \
                 fld[pl.ds(ip, 1), :, W:2 * W]
 
-    @pl.when(active & (p == 1))
+    @pl.when(shell_on & (p == 1))
     def _shells_j():
         for r in range(R):
             g = g0 + r
@@ -282,7 +291,7 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
             jp = nsl_ref[3, g]
             fld[pl.ds(g, 1), V + 1:V + 2, :] = fld[pl.ds(jp, 1), 1:2, :]
 
-    @pl.when(active & (p == 2))
+    @pl.when(shell_on & (p == 2))
     def _shells_k():
         Wp, Lp = fld.shape[1], fld.shape[2]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, Lp), 2)
@@ -306,12 +315,15 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
                 axis=-1)
             cur = jnp.where(m1, sh, cur)
             fld[pl.ds(g, 1)] = cur
-        # prefetch the first slab's enc for this sweep's compute phase
-        @pl.when(n == NSLAB - 1)
-        def _pf0():
-            cp = pltpu.make_async_copy(enc_any.at[pl.ds(0, R)],
-                                       encb.at[pl.ds(0, R)], sems.at[0])
-            cp.start()
+
+    # prefetch the first slab's enc for this sweep's compute phase —
+    # outside the shell gate: it must fire even when the last slab's
+    # shells are skipped
+    @pl.when(active & (p == 2) & (n == NSLAB - 1))
+    def _pf0():
+        cp = pltpu.make_async_copy(enc_any.at[pl.ds(0, R)],
+                                   encb.at[pl.ds(0, R)], sems.at[0])
+        cp.start()
 
     @pl.when(active & (p == 3))
     def _compute():
@@ -401,6 +413,14 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, esdf_any, enc_any, out_any,
                 for m2 in range(1, NSLAB):
                     acc = acc | (slabchg[m2] * adj_ref[m * NSLAB + m2])
                 acts[m] = acc
+            # shellact = acts dilated by the full-row slab adjacency:
+            # adjs[m2, m] = 1 iff slab m2 has a row whose 27-neighborhood
+            # reaches slab m — those rows' shells feed m2's compute
+            for m in range(NSLAB):
+                acc = acts[0] * adjs_ref[m]
+                for m2 in range(1, NSLAB):
+                    acc = acc | (acts[m2] * adjs_ref[m2 * NSLAB + m])
+                shellact[m] = acc
             for m in range(NSLAB):
                 slabchg[m] = 0
 
@@ -452,6 +472,14 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
     adj = (jnp.dot(a_src.T, nbr_oh,
                    preferred_element_type=jnp.float32) > 0.5)
     adj = adj.astype(jnp.int32).reshape(-1)                  # (NSLAB²,)
+    # full-row adjacency (not just updatable rows) for the shell gate:
+    # adjS[m, m2] = 1 iff ANY row of slab m has a 27-neighbor in slab m2
+    a_all = (slab_of[:, None] ==
+             jnp.arange(NSLAB, dtype=jnp.int32)[None, :]).astype(
+                 jnp.float32)                                # (N, NSLAB)
+    adjS = (jnp.dot(a_all.T, nbr_oh,
+                    preferred_element_type=jnp.float32) > 0.5)
+    adjS = adjS.astype(jnp.int32).reshape(-1)                # (NSLAB²,)
     # DMAs require tile-aligned slices, so the kernel works on the
     # physically-padded shape (N, Wp, Lp) — identical HBM/VMEM footprint
     # to the tiled (N, W, W²) arrays. Pad lanes/rows are neutral: enc pad
@@ -474,6 +502,7 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
@@ -487,9 +516,10 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SMEM((NSLAB,), jnp.int32),           # slabchg
             pltpu.SMEM((NSLAB,), jnp.int32),           # acts
+            pltpu.SMEM((NSLAB,), jnp.int32),           # shellact
         ],
         interpret=interpret,
-    )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), adj,
+    )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), adj, adjS,
       esdf_p, enc_p)
     return out[:, :W, :W * W], stats
 

@@ -25,6 +25,7 @@ class TaichiSLAMRender:
         self.show = show
         self.save_path = save_path
         self.max_particles_draw = max_particles_draw
+        self._subsample_warned = False
 
         self.camera_yaw = 0.0
         self.camera_pitch = -0.5
@@ -104,6 +105,12 @@ class TaichiSLAMRender:
         if self.disp_particles and self.par is not None and len(self.par):
             p = self.par
             if len(p) > self.max_particles_draw:
+                if not self._subsample_warned:
+                    self._subsample_warned = True
+                    print(f"[Render] drawing {self.max_particles_draw} of "
+                          f"{len(p)} particles (matplotlib cap); use the "
+                          "WebGL viewer (InteractiveRender) for full "
+                          "fidelity")
                 sel = np.random.default_rng(0).choice(
                     len(p), self.max_particles_draw, replace=False)
                 p = p[sel]

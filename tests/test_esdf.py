@@ -544,3 +544,56 @@ def test_pallas_loop_kernel_matches_per_sweep():
         # FMA/contractions differently across the two graphs (~1 ulp)
         assert err < 1e-6, f"loop kernel vs per-sweep max err {err}"
         np.testing.assert_array_equal(np.asarray(chp), np.asarray(chl))
+
+
+def test_pallas_loop_kernel_raise_reactivation_matches():
+    """Deactivate->reactivate INSIDE one kernel invocation: start from the
+    converged field, then delete the wall. The raise front sweeps outward
+    and slabs go quiet behind it; re-lowering from the surviving seeds
+    then re-activates them. The loop kernel's dilated shell gate
+    (esdf_sweep.py _loop_kernel shellact) must refresh those slabs' halo
+    shells before compute resumes — a slab computing against stale shells
+    would diverge from the per-sweep path, which re-assembles every shell
+    every sweep."""
+    import dataclasses
+    import jax.numpy as jnp
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = _make_wall_map()
+    # converged baseline field via the ops path (full working set)
+    cfg_p = dataclasses.replace(m.cfg, pallas_esdf="on",
+                                esdf_loop_kernel="off")
+    cfg_l = dataclasses.replace(m.cfg, pallas_esdf="on",
+                                esdf_loop_kernel="on")
+    shape = (m.cfg.max_blocks + 1, m.cfg.grid.voxels_per_block)
+    e0, f0, _, _, _, ov0 = esdf_ops.esdf_update(
+        cfg_p, 24, 64, m.state, jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int8), jnp.int32(0))
+    assert int(ov0) == 0
+
+    # erase the wall: observed near-surface voxels flip to far free space
+    tsdf = np.asarray(m.state.channels["TSDF"], np.float32)
+    wall = np.asarray(m.state.channels["TSDF_observed"] > 0) & (tsdf < 0.15)
+    new_tsdf = np.where(wall, 2.0, tsdf)
+    state2 = m.state._replace(channels={
+        **m.state.channels,
+        "TSDF": jnp.asarray(new_tsdf.astype(
+            np.asarray(m.state.channels["TSDF"]).dtype))})
+
+    for budget in (4, 16):
+        ep, fp, pp, swp, chp, ovp = esdf_ops.esdf_update(
+            cfg_p, budget, 64, state2, e0, f0, jnp.int32(0))
+        el, fl, _, swl, chl, ovl = esdf_ops.esdf_update(
+            cfg_l, budget, 64, state2, e0, f0, jnp.int32(0))
+        assert int(ovp) == 0 and int(ovl) == 0
+        assert int(swp) == int(swl), (int(swp), int(swl))
+        p = np.asarray(pp)
+        err = np.abs(np.where(p, np.asarray(ep) - np.asarray(el),
+                              0.0)).max()
+        assert err < 1e-6, f"raise-scene loop vs per-sweep max err {err}"
+        np.testing.assert_array_equal(np.asarray(chp), np.asarray(chl))
+
+    # and the raise really moved values (the scenario is non-trivial)
+    obs = np.asarray(pp)
+    rose = int(np.sum((np.asarray(ep) - np.asarray(e0) > 0.2) & obs))
+    assert rose > 50, f"only {rose} voxels rose"

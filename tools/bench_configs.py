@@ -47,7 +47,16 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="small shapes for CI smoke")
+    ap.add_argument("--only", type=str, default="",
+                    help="comma-separated config numbers to run "
+                    "(e.g. --only 3,5; 5 implies 3 — it reuses its map)")
     args = ap.parse_args()
+    only = set(int(x) for x in args.only.split(",") if x)
+    if 5 in only:
+        only.add(3)
+
+    def want(k):
+        return not only or k in only
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -76,12 +85,13 @@ def main():
     opts = dict(base_opts, num_voxel_per_blk_axis=16, max_bins=32768)
 
     # ---- config 1: marching cubes from the saved map ------------------------
-    m = DenseTSDF.loadMap(ensure_map(args.frames))
-    mesher = MarchingCubeMesher(m, max_triangles=1 << 19)
-    t, _ = wall(mesher.generate_mesh, 1)
-    row("1 marching-cubes (saved map)", "ms/extraction",
-        round(t * 1000, 2), f"({mesher.num_facelets} triangles, "
-        f"{m.count_active()} voxels)")
+    if want(1):
+        m = DenseTSDF.loadMap(ensure_map(args.frames))
+        mesher = MarchingCubeMesher(m, max_triangles=1 << 19)
+        t, _ = wall(mesher.generate_mesh, 1)
+        row("1 marching-cubes (saved map)", "ms/extraction",
+            round(t * 1000, 2), f"({mesher.num_facelets} triangles, "
+            f"{m.count_active()} voxels)")
 
     # The decoded depth sequence is staged to the device ONCE, outside the
     # timed loops: bag decode/upload is I/O the reference also times
@@ -93,15 +103,16 @@ def main():
     depth_dev = jnp.asarray(depth)
 
     # ---- config 2: octomap occupancy fusion ---------------------------------
-    octo = Octomap(K=2, min_occupy_thres=2, **base_opts)
-    octo.set_dep_camera_intrinsic(K)
+    if want(2):
+        octo = Octomap(K=2, min_occupy_thres=2, **base_opts)
+        octo.set_dep_camera_intrinsic(K)
 
-    def run_octo():
-        for i in range(n):
-            octo.recast_depth_to_map(Rs[i], Ts[i], depth_dev[i], None)
-    t, _ = wall(run_octo, reps=1)
-    row("2 octomap fusion (D435-like seq)", "fps", round(n / t, 1),
-        f"({n} frames 640x480)" if not args.quick else f"({n} frames)")
+        def run_octo():
+            for i in range(n):
+                octo.recast_depth_to_map(Rs[i], Ts[i], depth_dev[i], None)
+        t, _ = wall(run_octo, reps=1)
+        row("2 octomap fusion (D435-like seq)", "fps", round(n / t, 1),
+            f"({n} frames 640x480)" if not args.quick else f"({n} frames)")
 
     # ---- config 3: TSDF + per-frame incremental ESDF ------------------------
     # deferred capacity checks: on the axon relay every host sync costs a
@@ -113,36 +124,39 @@ def main():
     # hysteresis, 2 mm convergence eps — the exactness-tuned defaults
     # (slack 0, eps 0.1 mm, drain to 64 sweeps) are for tests
     import dataclasses
-    esdf = DenseESDF(max_submap_num=8, esdf_check_interval=8,
-                     max_esdf_sweeps=8, esdf_raise_slack_voxels=0.5,
-                     **opts)
-    esdf.cfg = dataclasses.replace(esdf.cfg, esdf_converge_eps=2e-3)
-    esdf.capacity_check_interval = 8
-    esdf.set_dep_camera_intrinsic(K)
+    if want(3):
+        esdf = DenseESDF(max_submap_num=8, esdf_check_interval=8,
+                         max_esdf_sweeps=8, esdf_raise_slack_voxels=0.5,
+                         **opts)
+        esdf.cfg = dataclasses.replace(esdf.cfg, esdf_converge_eps=2e-3)
+        esdf.capacity_check_interval = 8
+        esdf.set_dep_camera_intrinsic(K)
 
-    def run_esdf():
-        for i in range(n):
-            esdf.recast_depth_to_map(Rs[i], Ts[i], depth_dev[i], None)
-    t, _ = wall(run_esdf, reps=1)
-    row("3 TSDF + incremental ESDF (per-call)", "fps", round(n / t, 1),
-        f"(per-frame ESDF, last {esdf.last_esdf_sweeps} sweeps)")
+        def run_esdf():
+            for i in range(n):
+                esdf.recast_depth_to_map(Rs[i], Ts[i], depth_dev[i], None)
+        t, _ = wall(run_esdf, reps=1)
+        row("3 TSDF + incremental ESDF (per-call)", "fps", round(n / t, 1),
+            f"(per-frame ESDF, last {esdf.last_esdf_sweeps} sweeps)")
 
-    # same workload through the multi-frame ingest API (ops/sequence.py):
-    # bag replay ingests a window per dispatch, amortizing the per-call
-    # dispatch cost the row above pays on every frame
-    esdf_w = DenseESDF(max_submap_num=8, max_esdf_sweeps=8,
-                       esdf_raise_slack_voxels=0.5, **opts)
-    esdf_w.cfg = dataclasses.replace(esdf_w.cfg, esdf_converge_eps=2e-3)
-    esdf_w.set_dep_camera_intrinsic(K)
-    W = max(1, min(20, n))
+        # same workload through the multi-frame ingest API
+        # (ops/sequence.py): bag replay ingests a window per dispatch,
+        # amortizing the per-call dispatch cost the row above pays on
+        # every frame
+        esdf_w = DenseESDF(max_submap_num=8, max_esdf_sweeps=8,
+                           esdf_raise_slack_voxels=0.5, **opts)
+        esdf_w.cfg = dataclasses.replace(esdf_w.cfg,
+                                         esdf_converge_eps=2e-3)
+        esdf_w.set_dep_camera_intrinsic(K)
+        W = max(1, min(20, n))
 
-    def run_esdf_seq():
-        for i in range(0, n, W):
-            esdf_w.recast_depth_sequence(Rs[i:i + W], Ts[i:i + W],
-                                         depth_dev[i:i + W])
-    t, _ = wall(run_esdf_seq, reps=1)
-    row("3 TSDF + incremental ESDF (windowed)", "fps", round(n / t, 1),
-        f"(window={W} frames/dispatch)")
+        def run_esdf_seq():
+            for i in range(0, n, W):
+                esdf_w.recast_depth_sequence(Rs[i:i + W], Ts[i:i + W],
+                                             depth_dev[i:i + W])
+        t, _ = wall(run_esdf_seq, reps=1)
+        row("3 TSDF + incremental ESDF (windowed)", "fps", round(n / t, 1),
+            f"(window={W} frames/dispatch)")
 
     # ---- config 4: voxgraph-style submap mapping -----------------------------
     # incremental_fuse: keyframe finalize splats only the finished submap
@@ -152,44 +166,47 @@ def main():
     # each new bucket is a fresh executable (compile cached on any real
     # deployment after the first bag); pass 2 is the steady-state number.
     eye = np.eye(3, dtype=np.float32)
-
-    def run_voxgraph():
-        sm = SubmapMapping(DenseTSDF, keyframe_step=max(2, n // 4),
-                           incremental_fuse=True,
-                           sub_opts=dict(opts, max_submap_num=64,
-                                         max_disp_particles=1 << 18),
-                           global_opts=dict(opts, max_blocks=8192,
-                                            max_disp_particles=1 << 18))
-        sm.set_dep_camera_intrinsic(K)
-        for sub in (sm.submap_collection, sm.global_map):
-            sub.capacity_check_interval = 8
-        for i in range(n):
-            sm.recast_depth_to_map_by_frame(
-                i, True, (eye, Ts[i]), (Rs[i], np.zeros(3, np.float32)),
-                depth_dev[i], None)
-        return sm
-    t_ingest, sm = wall(run_voxgraph, reps=1)
-    t_fuse, _ = wall(sm.local_to_global)
-    gmesher = MarchingCubeMesher(sm.global_map, max_triangles=1 << 19)
-    t_mesh, _ = wall(gmesher.generate_mesh, 1)
-    row("4 voxgraph submap mapping", "fps ingest", round(n / t_ingest, 1),
-        f"(submaps={len(sm.submaps)}, full fuse {t_fuse*1000:.1f} ms, "
-        f"global mesh {t_mesh*1000:.1f} ms / {gmesher.num_facelets} tris)")
+    if want(4):
+        def run_voxgraph():
+            sm = SubmapMapping(DenseTSDF, keyframe_step=max(2, n // 4),
+                               incremental_fuse=True,
+                               sub_opts=dict(opts, max_submap_num=64,
+                                             max_disp_particles=1 << 18),
+                               global_opts=dict(opts, max_blocks=8192,
+                                                max_disp_particles=1 << 18))
+            sm.set_dep_camera_intrinsic(K)
+            for sub in (sm.submap_collection, sm.global_map):
+                sub.capacity_check_interval = 8
+            for i in range(n):
+                sm.recast_depth_to_map_by_frame(
+                    i, True, (eye, Ts[i]), (Rs[i], np.zeros(3, np.float32)),
+                    depth_dev[i], None)
+            return sm
+        t_ingest, sm = wall(run_voxgraph, reps=1)
+        t_fuse, _ = wall(sm.local_to_global)
+        gmesher = MarchingCubeMesher(sm.global_map, max_triangles=1 << 19)
+        t_mesh, _ = wall(gmesher.generate_mesh, 1)
+        row("4 voxgraph submap mapping", "fps ingest",
+            round(n / t_ingest, 1),
+            f"(submaps={len(sm.submaps)}, full fuse {t_fuse*1000:.1f} ms, "
+            f"global mesh {t_mesh*1000:.1f} ms / {gmesher.num_facelets} "
+            "tris)")
 
     # ---- config 5: topology skeleton graph ----------------------------------
-    topo_map = esdf
-    topo = TopoGraphGen(topo_map, coll_det_num=64, max_raycast_dist=2.5)
-    xyz, e = topo_map.get_voxels_ESDF_slice(0.0)
-    k = topo_map.num_export_ESDF_particles
-    seed = xyz[:k][np.argmax(e[:k])]
+    if want(5):
+        topo_map = esdf
+        topo = TopoGraphGen(topo_map, coll_det_num=64, max_raycast_dist=2.5)
+        xyz, e = topo_map.get_voxels_ESDF_slice(0.0)
+        k = topo_map.num_export_ESDF_particles
+        seed = xyz[:k][np.argmax(e[:k])]
 
-    def run_topo():
-        topo.reset()
-        return topo.generate_topo_graph(seed, max_nodes=16)
-    t, nodes = wall(run_topo, reps=1)
-    row("5 topo skeleton graph", "ms", round(t * 1000, 1),
-        f"({nodes} nodes, {topo.num_facelets} facelets, "
-        f"{len(topo.edges)} edges)")
+        def run_topo():
+            topo.reset()
+            return topo.generate_topo_graph(seed, max_nodes=16)
+        t, nodes = wall(run_topo, reps=1)
+        row("5 topo skeleton graph", "ms", round(t * 1000, 1),
+            f"({nodes} nodes, {topo.num_facelets} facelets, "
+            f"{len(topo.edges)} edges)")
 
     print("\n== BASELINE.json configs ==")
     wid = max(len(r[0]) for r in ROWS)

@@ -325,6 +325,18 @@ def _scan_pos_np(W):
     return k, i, j
 
 
+@functools.lru_cache(maxsize=32)
+def _scan_posv_np(W, v1: float):
+    """``pos * v1`` per direction, pre-multiplied in f32 NUMPY so the scan
+    body contains no mul+add chain: LLVM/XLA would otherwise contract
+    ``h - pos*v1`` into an FMA in some fusion contexts and not others,
+    breaking bit-exactness between the single-device and block-sharded
+    ESDF programs (asserted in tests/test_parallel.py)."""
+    k, i, j = _scan_pos_np(W)
+    v = np.float32(v1)
+    return k * v, i * v, j * v
+
+
 def _dbl_seg_scan(w, brk, shift_fn, n_steps, big):
     """Inclusive segmented min via Hillis-Steele doubling: ``m[k]`` = min of
     ``w`` over the positions before k (in scan direction) reachable without
@@ -359,10 +371,20 @@ def _scan_candidates_fused(h, brk, v1, big, W):
     cheaper ray through from beyond. Structural breaks at the halo faces
     keep each scan on its spatial line (cross-block influence flows through
     the halo VALUES, exactly like the 26-stencil sweep).
+
+    ``v1`` must be trace-time concrete: ``pos * v1`` is pre-multiplied on
+    host (see _scan_posv_np) so no mul+add chain exists for XLA/LLVM to
+    FMA-contract — the contraction decision varies with fusion context and
+    would break single-device == sharded bit-exactness.
     """
+    v1f = float(v1)
     k_np, i_np, j_np = _scan_pos_np(W)
+    kv_np, iv_np, jv_np = _scan_posv_np(W, v1f)
     k_pos, i_pos, j_pos = (jnp.asarray(k_np), jnp.asarray(i_np),
                            jnp.asarray(j_np))
+    k_pv, i_pv, j_pv = (jnp.asarray(kv_np), jnp.asarray(iv_np),
+                        jnp.asarray(jv_np))
+    v1c = jnp.float32(v1f)
     n_steps = max(1, int(np.ceil(np.log2(W))))
     out = jnp.full_like(h, big)
 
@@ -384,19 +406,19 @@ def _scan_candidates_fused(h, brk, v1, big, W):
     def sh_j_b(x, s, fill):
         return _jshift(x, s, fill)
 
-    for pos, lo_face, shift_f, shift_b in (
-            (k_pos, k_pos, sh_k, sh_k_b),
-            (i_pos, i_pos, sh_i, sh_i_b),
-            (j_pos, j_pos, sh_j, sh_j_b)):
+    for posv, lo_face, shift_f, shift_b in (
+            (k_pv, k_pos, sh_k, sh_k_b),
+            (i_pv, i_pos, sh_i, sh_i_b),
+            (j_pv, j_pos, sh_j, sh_j_b)):
         brk_f = brk | (lo_face == 0.0)
         brk_b = brk | (lo_face == float(W - 1))
-        incl_f = _dbl_seg_scan(h - pos * v1, brk_f, shift_f, n_steps,
-                               big) + pos * v1
-        incl_b = _dbl_seg_scan(h + pos * v1, brk_b, shift_b, n_steps,
-                               big) - pos * v1
+        incl_f = _dbl_seg_scan(h - posv, brk_f, shift_f, n_steps,
+                               big) + posv
+        incl_b = _dbl_seg_scan(h + posv, brk_b, shift_b, n_steps,
+                               big) - posv
         out = jnp.minimum(out, jnp.minimum(
-            shift_f(incl_f, 1, big) + v1,
-            shift_b(incl_b, 1, big) + v1))
+            shift_f(incl_f, 1, big) + v1c,
+            shift_b(incl_b, 1, big) + v1c))
     return out
 
 
@@ -772,9 +794,11 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         def with_scans(cands):
             c_lo, c_hi = cands
             c_lo = jnp.minimum(c_lo, _scan_candidates_fused(
-                lo, (lo >= BIG * 0.5) | fixed_h, v1, BIG, W))
+                lo, (lo >= BIG * 0.5) | fixed_h, float(cfg.voxel_scale),
+                BIG, W))
             c_hi = jnp.maximum(c_hi, -_scan_candidates_fused(
-                -hi, (hi <= -BIG * 0.5) | fixed_h, v1, BIG, W))
+                -hi, (hi <= -BIG * 0.5) | fixed_h, float(cfg.voxel_scale),
+                BIG, W))
             return c_lo, c_hi
 
         if cfg.esdf_scan_sweeps < 0:

@@ -92,7 +92,13 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
     """Build a jitted sharded integrate step with the same signature as
     ``ops.tsdf.integrate_depth`` (minus stats). Updates every channel the
     single-device path does: TSDF/W/observed from the ray march, occupy at
-    bin endpoints, color (weighted per-lane set) when texture is enabled."""
+    bin endpoints, color (weighted per-lane set) when texture is enabled.
+
+    Returns ``fn(...) -> (state, touched)`` where ``touched`` is the
+    replicated (max_blocks+1,) bool bitmap of blocks whose TSDF changed
+    this frame (identical to single-device ``integrate_depth``'s
+    ``touched_blocks`` stat) — it feeds the sharded incremental ESDF's
+    dirty working set (parallel.sharded_esdf)."""
 
     spec = cfg.grid
     nb = spec.max_blocks + 1
@@ -157,6 +163,11 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
         D = ch["TSDF"].reshape(-1).astype(jnp.float32)
         W = ch["W_TSDF"].reshape(-1).astype(jnp.float32)
         touched = w_sum > 0
+        # replicated per-slot touched bitmap == single-device stat
+        # (each shard owns disjoint rows; tiled all_gather re-orders them)
+        touched_rows = jnp.any(touched.reshape(shard_rows, V3), axis=1)
+        touched_full = jax.lax.all_gather(
+            touched_rows, axis, axis=0, tiled=True).at[-1].set(False)
         new_D = jnp.where(touched, (D * W + wd_sum) / (W + w_sum), D)
         new_W = jnp.where(touched, jnp.minimum(W + w_sum, cfg.w_max), W)
         shape = (shard_rows, V3)
@@ -198,12 +209,12 @@ def sharded_integrate_depth(cfg: TSDFConfig, mesh: Mesh, axis: str = "block"):
         for k in ch:
             keep = not_garbage.reshape((shard_rows,) + (1,) * (ch[k].ndim - 1))
             ch[k] = jnp.where(keep, ch[k], jnp.zeros_like(ch[k]))
-        return books._replace(channels=ch)
+        return books._replace(channels=ch), touched_full
 
     fn = shard_map(
         step, mesh=mesh,
         in_specs=(_state_spec(cfg, axis), P(), P(), P(), P(), P(), P(), P()),
-        out_specs=_state_spec(cfg, axis),
+        out_specs=(_state_spec(cfg, axis), P()),
         check_vma=False)
     return jax.jit(fn)
 

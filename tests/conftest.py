@@ -10,7 +10,32 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+def _machine_cache_dir():
+    """Per-CPU-fingerprint compilation cache.
+
+    The persistent cache key does NOT include the host's CPU features; an
+    executable AOT-compiled on a previous sandbox host gets loaded here
+    with mismatched features (xla cpu_aot_loader warns about SIGILL risk)
+    and produces 1-ulp float-contraction differences that break the
+    bit-exactness tests (sharded == single-device). Keying the cache dir
+    by the feature set makes stale cross-machine entries unreachable."""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:12]
+                    break
+            else:
+                fp = "nofl"
+    except OSError:
+        fp = "nocpuinfo"
+    return f"/tmp/jax_cache_{fp}"
+
+
+_CACHE = _machine_cache_dir()
+os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE
 
 import jax  # noqa: E402
 
@@ -18,6 +43,6 @@ import jax  # noqa: E402
 # JAX_PLATFORMS at interpreter start; forcing the config post-import wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -249,6 +249,7 @@ def test_esdf_raise_wall_deleted():
     assert rose > 50, f"only {rose} voxels raised"
 
 
+@pytest.mark.slow
 def test_esdf_raise_wall_moved_away():
     """Adversarial raise scene: the wall recedes 0.5 m (re-integrated until
     the weighted TSDF flips sign in the vacated band). Distances in front of
@@ -269,6 +270,7 @@ def test_esdf_raise_wall_moved_away():
     assert rose > 50, f"only {rose} voxels rose after the wall receded"
 
 
+@pytest.mark.slow
 def test_esdf_jitter_converges_fast_and_exact():
     """Sub-voxel sensor jitter perturbs every fixed seed each frame; the
     multi-hop scan sweeps must re-converge in a few sweeps AND exactly
@@ -403,6 +405,7 @@ def test_esdf_deferred_check_interval():
     assert err < 5e-3, f"deferred vs interactive max err {err}"
 
 
+@pytest.mark.slow
 def test_esdf_budget_staleness_adversarial():
     """Budget-bounded sweeps with cross-frame re-queue (bench.py's
     production mode: budget 3, 0.5-voxel raise hysteresis, seed gating)
@@ -510,6 +513,7 @@ def test_esdf_window_mode_matches_block():
     assert not bool(np.any(np.asarray(changed2)))
 
 
+@pytest.mark.slow
 def test_pallas_loop_kernel_matches_per_sweep():
     """The whole-loop-in-one-kernel path (esdf_sweep_loop_pallas,
     interpret mode on CPU) runs the SAME Jacobi schedule as the
@@ -546,6 +550,7 @@ def test_pallas_loop_kernel_matches_per_sweep():
         np.testing.assert_array_equal(np.asarray(chp), np.asarray(chl))
 
 
+@pytest.mark.slow
 def test_pallas_loop_kernel_raise_reactivation_matches():
     """Deactivate->reactivate INSIDE one kernel invocation: start from the
     converged field, then delete the wall. The raise front sweeps outward

@@ -54,6 +54,7 @@ def make_core(extra=None, **kw):
         get_param=lambda name, default=None: params.get(name, default), **kw)
 
 
+@pytest.mark.slow
 def test_param_plumbing_builds_mapping():
     core = make_core()
     assert core.mapping_type == "tsdf"
@@ -142,6 +143,7 @@ def test_traj_callback_applies_pgo_poses():
                                [0.5, 0.0, 0.0])
 
 
+@pytest.mark.slow
 def test_two_cores_exchange_submaps_over_loopback():
     """Full node-level multi-drone path: core A's submap reaches core B
     through SLAMComm on the loopback transport."""

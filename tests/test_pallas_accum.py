@@ -180,6 +180,7 @@ def test_fuse_submaps_pallas_matches_xla():
                                   np.asarray(b.channels["occupy"]))
 
 
+@pytest.mark.slow
 def test_textured_integrate_pallas_matches_xla():
     """Textured integrate: with a CONSTANT texture, the kernel's per-frame
     weighted-mean color equals the XLA path's last-writer scatter exactly
@@ -259,6 +260,7 @@ def test_textured_fusion_pallas_matches_xla():
                                np.asarray(b.channels["TSDF"]), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pallas_bins_match_xla():
     """bin_points_c's Pallas per-bin segmented sums (ONE block, intra =
     bin rank, presorted) must match the XLA cumsum-differencing path;

@@ -33,6 +33,7 @@ def drone_inputs(n):
     return depth, R, T
 
 
+@pytest.mark.slow
 def test_multi_drone_step_8_devices():
     mesh = make_mesh(8, "drone")
     dstates = make_drone_states(SUB_CFG, 8)
@@ -49,6 +50,7 @@ def test_multi_drone_step_8_devices():
     assert np.all(nb > 0)
 
 
+@pytest.mark.slow
 def test_multi_drone_matches_sequential_fusion():
     """psum-allreduced fusion == sequentially fusing each drone's submaps
     into one global map."""
@@ -89,6 +91,7 @@ def test_multi_drone_matches_sequential_fusion():
     assert int(gstate.num_blocks) == int(g2.num_blocks)
 
 
+@pytest.mark.slow
 def test_block_sharded_integrate_matches_single_device():
     """Slot-axis sharded integration == single-device integration."""
     from taichislam_tpu.parallel.block_sharded import (
@@ -112,9 +115,14 @@ def test_block_sharded_integrate_matches_single_device():
 
     sstate = shard_state(state, mesh, "block")
     step = sharded_integrate_depth(cfg, mesh, "block")
-    out = step(sstate, depth, texture, R, T, K, K, jnp.int32(0))
+    out, touched = step(sstate, depth, texture, R, T, K, K, jnp.int32(0))
 
     assert int(out.num_blocks) == int(ref_state.num_blocks)
+    # touched bitmap == single-device integrate stat
+    _, ref_stats = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
+                                            K, K, jnp.int32(0))
+    np.testing.assert_array_equal(np.asarray(touched),
+                                  np.asarray(ref_stats["touched_blocks"]))
     for k in ("TSDF", "W_TSDF"):
         np.testing.assert_allclose(np.asarray(out.channels[k]),
                                    np.asarray(ref_state.channels[k]),
@@ -125,6 +133,7 @@ def test_block_sharded_integrate_matches_single_device():
                                       err_msg=k)
 
 
+@pytest.mark.slow
 def test_block_sharded_textured_integrate_matches_single_device():
     """All channels including color match the single-device XLA path."""
     import dataclasses
@@ -150,7 +159,7 @@ def test_block_sharded_textured_integrate_matches_single_device():
                                             K, K, jnp.int32(0))
     sstate = shard_state(state, mesh, "block")
     step = sharded_integrate_depth(cfg, mesh, "block")
-    out = step(sstate, depth, texture, R, T, K, K, jnp.int32(0))
+    out, _ = step(sstate, depth, texture, R, T, K, K, jnp.int32(0))
     for k in ref_state.channels:
         np.testing.assert_allclose(
             np.asarray(out.channels[k], np.float32),
@@ -183,7 +192,7 @@ def test_gather_surface_blocks_export_and_mesh():
     ref_state, _ = tsdf_ops.integrate_depth(cfg, state, depth, texture, R, T,
                                             K, K, jnp.int32(0))
     sstate = shard_state(state, mesh, "block")
-    out = sharded_integrate_depth(cfg, mesh, "block")(
+    out, _ = sharded_integrate_depth(cfg, mesh, "block")(
         sstate, depth, texture, R, T, K, K, jnp.int32(0))
 
     cap = 32
@@ -223,6 +232,133 @@ def test_gather_surface_blocks_export_and_mesh():
         np.sort(np.asarray(mr["vertices"])[:nt_r * 3], axis=0), atol=1e-5)
 
 
+def _esdf_scene_cfg():
+    return TSDFConfig(map_scale=(3.2, 3.2), voxel_scale=0.1,
+                      num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                      min_ray_length=0.3, recast_step=2, max_blocks=63,
+                      max_bins=1024, max_submap_num=4)
+
+
+@pytest.mark.slow
+def test_sharded_esdf_incremental_matches_single_device():
+    """Sharded incremental ESDF (cross-shard halo exchange via collectives)
+    == single-device ``esdf_update`` BIT FOR BIT over a 2-frame sequence
+    whose dirty set spans shard boundaries, including sweep counts,
+    re-queue bitmaps, and pending-wavefront chaining."""
+    from taichislam_tpu.ops import esdf as esdf_ops
+    from taichislam_tpu.parallel.block_sharded import (
+        shard_state, sharded_integrate_depth)
+    from taichislam_tpu.parallel.sharded_esdf import (
+        esdf_sharding, sharded_esdf_update)
+
+    cfg = _esdf_scene_cfg()
+    n = 8
+    mesh = make_mesh(n, "block")
+    nb = cfg.grid.max_blocks + 1
+    shard_rows = nb // n
+    V3 = cfg.grid.voxels_per_block
+    cap, sweeps = 64, 16
+
+    rng = np.random.default_rng(1)
+    depths = [jnp.asarray(rng.integers(400, 1400, size=(24, 32))
+                          .astype(np.uint16)) for _ in range(2)]
+    texture = jnp.zeros((1, 1, 3), jnp.uint8)
+    R = jnp.eye(3, dtype=jnp.float32)
+    Ts = [jnp.zeros(3, jnp.float32),
+          jnp.asarray([0.15, 0.1, 0.0], jnp.float32)]
+
+    # single-device reference, incremental with pending chaining
+    ref_state = tsdf_ops.make_tsdf_state(cfg)
+    ref_e = jnp.zeros((nb, V3), jnp.float32)
+    ref_f = jnp.zeros((nb, V3), jnp.int8)
+    ref_pending = jnp.zeros((nb,), bool)
+
+    # sharded: same chaining, state + ESDF fields sharded on slots
+    sh = esdf_sharding(mesh, "block")
+    sstate = shard_state(tsdf_ops.make_tsdf_state(cfg), mesh, "block")
+    se = jax.device_put(jnp.zeros((nb, V3), jnp.float32), sh)
+    sf = jax.device_put(jnp.zeros((nb, V3), jnp.int8), sh)
+    spending = jnp.zeros((nb,), bool)
+    istep = sharded_integrate_depth(cfg, mesh, "block")
+    estep = sharded_esdf_update(cfg, sweeps, cap, mesh, incremental=True)
+
+    for f in range(2):
+        ref_state, stats = tsdf_ops.integrate_depth(
+            cfg, ref_state, depths[f], texture, R, Ts[f], K, K, jnp.int32(0))
+        dirty = stats["touched_blocks"] | ref_pending
+        (ref_e, ref_f, ref_obs, ref_sw, ref_changed,
+         ref_ovf) = esdf_ops.esdf_update(
+            cfg, sweeps, cap, ref_state, ref_e, ref_f, jnp.int32(0), dirty)
+        ref_pending = ref_changed
+
+        sstate, touched = istep(sstate, depths[f], texture, R, Ts[f], K, K,
+                                jnp.int32(0))
+        np.testing.assert_array_equal(np.asarray(touched),
+                                      np.asarray(stats["touched_blocks"]))
+        sdirty = touched | spending
+        se, sf, sobs, ssw, schanged, sovf = estep(
+            sstate, se, sf, jnp.int32(0), sdirty)
+        spending = schanged
+
+        # the dirty working set must span shard boundaries for the halo
+        # exchange to be exercised cross-shard
+        slots = np.nonzero(np.asarray(sdirty))[0]
+        assert len(set(slots // shard_rows)) >= 2, slots
+
+        assert int(ssw) == int(ref_sw) > 0
+        assert int(sovf) == int(ref_ovf) == 0
+        np.testing.assert_array_equal(np.asarray(se), np.asarray(ref_e))
+        np.testing.assert_array_equal(np.asarray(sf), np.asarray(ref_f))
+        np.testing.assert_array_equal(np.asarray(sobs), np.asarray(ref_obs))
+        np.testing.assert_array_equal(np.asarray(schanged),
+                                      np.asarray(ref_changed))
+
+
+@pytest.mark.slow
+def test_sharded_esdf_full_matches_single_device():
+    """Full-map (non-incremental) sharded ESDF == single-device."""
+    from taichislam_tpu.ops import esdf as esdf_ops
+    from taichislam_tpu.parallel.block_sharded import (
+        shard_state, sharded_integrate_depth)
+    from taichislam_tpu.parallel.sharded_esdf import (
+        esdf_sharding, sharded_esdf_update)
+
+    cfg = _esdf_scene_cfg()
+    mesh = make_mesh(8, "block")
+    nb = cfg.grid.max_blocks + 1
+    V3 = cfg.grid.voxels_per_block
+    rng = np.random.default_rng(2)
+    depth = jnp.asarray(rng.integers(400, 1400, size=(24, 32))
+                        .astype(np.uint16))
+    texture = jnp.zeros((1, 1, 3), jnp.uint8)
+    R = jnp.eye(3, dtype=jnp.float32)
+    T = jnp.zeros(3, jnp.float32)
+
+    ref_state, _ = tsdf_ops.integrate_depth(cfg, tsdf_ops.make_tsdf_state(cfg),
+                                            depth, texture, R, T, K, K,
+                                            jnp.int32(0))
+    ref_e, ref_f, _, ref_sw, ref_changed, ref_ovf = esdf_ops.esdf_update(
+        cfg, 16, 64, ref_state, jnp.zeros((nb, V3), jnp.float32),
+        jnp.zeros((nb, V3), jnp.int8), jnp.int32(0), None)
+
+    sstate = shard_state(tsdf_ops.make_tsdf_state(cfg), mesh, "block")
+    sstate, _ = sharded_integrate_depth(cfg, mesh, "block")(
+        sstate, depth, texture, R, T, K, K, jnp.int32(0))
+    sh = esdf_sharding(mesh, "block")
+    se = jax.device_put(jnp.zeros((nb, V3), jnp.float32), sh)
+    sf = jax.device_put(jnp.zeros((nb, V3), jnp.int8), sh)
+    se, sf, _, ssw, schanged, sovf = sharded_esdf_update(
+        cfg, 16, 64, mesh, incremental=False)(sstate, se, sf, jnp.int32(0))
+
+    assert int(ssw) == int(ref_sw) > 0
+    assert int(sovf) == int(ref_ovf) == 0
+    np.testing.assert_array_equal(np.asarray(se), np.asarray(ref_e))
+    np.testing.assert_array_equal(np.asarray(sf), np.asarray(ref_f))
+    np.testing.assert_array_equal(np.asarray(schanged),
+                                  np.asarray(ref_changed))
+
+
+@pytest.mark.slow
 def test_lifecycle_step_matches_host_submap_mapping():
     """The in-graph submap lifecycle (multi_drone_lifecycle_step: keyframe
     switching, per-drone base-pose registries, world->submap conversion)

@@ -185,6 +185,7 @@ def shell(monkeypatch):
                            hooks=hooks)
 
 
+@pytest.mark.slow
 def test_shell_wiring_and_depth_publish(shell):
     """Construct the real TaichiSLAMNode: subscriber topics, synchronizer
     signatures, then depth-frame callback -> recast -> /dense_mapping."""
@@ -218,6 +219,7 @@ def test_shell_wiring_and_depth_publish(shell):
     assert 0.7 < np.median(xyz[:, 2]) < 1.3
 
 
+@pytest.mark.slow
 def test_shell_pcl_path_roundtrip(shell):
     """PointCloud2 input: encode with the real point_cloud codec, feed the
     ts_pcl synchronizer, and check the pcl recast branch integrates it."""
@@ -235,6 +237,7 @@ def test_shell_pcl_path_roundtrip(shell):
     assert node.mapping.submap_collection.count_active() > 0
 
 
+@pytest.mark.slow
 def test_slam_main_loop(shell):
     """The 100 Hz main loop (reference taichislam_node.py:439-456): frames
     arrive between ticks, process_taichi consumes them, loop exits on

@@ -87,11 +87,52 @@ class DenseTSDF(BaseMap):
         self.last_stats = {}
         self.clear_last_TSDF_exporting = False
 
+        # mesh-dirty protocol (incremental mesher, models/mesher.py):
+        # device-side union of touched-block bitmaps since the mesher last
+        # consumed them; the full flag covers events that can move
+        # arbitrary voxels (reset, fuse, load, submap switch)
+        self._mesh_dirty_full = True
+        self._mesh_dirty = None
+
         # host-side export mirrors (the reference's export_* fields)
         self.num_TSDF_particles = 0
         self.export_TSDF_xyz = np.zeros((0, 3), np.float32)
         self.export_color = np.zeros((0, 3), np.float32)
         self.export_TSDF = np.zeros((0,), np.float32)
+
+    # ------------------------------------------------------------------
+    # mesh-dirty protocol (consumed by MarchingCubeMesher's incremental
+    # re-mesh; see models/mesher.py)
+    # ------------------------------------------------------------------
+    def _mark_mesh_dirty(self, touched):
+        """OR a per-slot touched-block bitmap into the pending dirty set
+        (device arrays; the OR is a lazy dispatched op)."""
+        if self._mesh_dirty_full or touched is None:
+            return
+        self._mesh_dirty = touched if self._mesh_dirty is None \
+            else (self._mesh_dirty | touched)
+
+    def _mark_mesh_dirty_full(self):
+        self._mesh_dirty_full = True
+        self._mesh_dirty = None
+
+    def consume_mesh_dirty(self):
+        """Returns (needs_full, bitmap) and clears the pending set:
+        ``needs_full`` after events that can move arbitrary voxels
+        (reset / fuse / load / submap switch / first use); otherwise
+        ``bitmap`` is the per-slot union of blocks touched since the last
+        consume (None = nothing changed)."""
+        if self._mesh_dirty_full:
+            self._mesh_dirty_full = False
+            self._mesh_dirty = None
+            return True, None
+        d = self._mesh_dirty
+        self._mesh_dirty = None
+        return False, d
+
+    def finalization_current_submap(self):
+        # the mesher extracts the ACTIVE submap; a switch changes it wholesale
+        self._mark_mesh_dirty_full()
 
     # ------------------------------------------------------------------
     # ingestion
@@ -129,6 +170,7 @@ class DenseTSDF(BaseMap):
             jnp.asarray(self.input_T), jnp.asarray(self.K_cam_dep),
             jnp.asarray(kc), jnp.int32(self.active_submap_id))
         self.last_stats = stats
+        self._mark_mesh_dirty(stats.get("touched_blocks"))
         self._update_bin_bucket(stats)
 
     def recast_pcl_to_map(self, R, T, xyz_array, rgb_array):
@@ -141,6 +183,7 @@ class DenseTSDF(BaseMap):
             jnp.asarray(rgb, jnp.float32), jnp.asarray(self.input_R),
             jnp.asarray(self.input_T), jnp.int32(self.active_submap_id))
         self.last_stats = stats
+        self._mark_mesh_dirty(stats.get("touched_blocks"))
         self._update_bin_bucket(stats)
 
     # -- multi-frame ingest (ops/sequence.py) --------------------------------
@@ -229,6 +272,7 @@ class DenseTSDF(BaseMap):
                 break
         self.state = state
         self.last_stats = stats
+        self._mark_mesh_dirty(stats.get("touched_blocks"))
 
     def cvt_occupy_to_voxels(self):
         self.cvt_TSDF_surface_to_voxels()
@@ -370,6 +414,7 @@ class DenseTSDF(BaseMap):
             self.cfg, self.state, jnp.int32(submap_id), jnp.asarray(idx_p),
             jnp.asarray(pad(tsdf)), jnp.asarray(pad(w_tsdf)),
             jnp.asarray(pad(occ)), jnp.asarray(col), jnp.int32(n))
+        self._mark_mesh_dirty_full()
 
     def saveMap(self, filename):
         np.save(filename, self.export_submap())
@@ -442,6 +487,7 @@ class DenseTSDF(BaseMap):
                 continue
             break
         self._fuse_touched_bucket = touched_cap
+        self._mark_mesh_dirty_full()
         if int(stats["fuse_dropped"]) > 0:
             print(f"[DenseTSDF] fuse sources dropped: "
                   f"{int(stats['fuse_dropped'])} (block cap)")
@@ -485,12 +531,14 @@ class DenseTSDF(BaseMap):
             break
         self._fuse_touched_bucket = touched_cap
         self.last_stats = stats
+        self._mark_mesh_dirty_full()
         print(f"[DenseTSDF] Fuse submap {submap_id} incrementally "
               f"{(time.time()-t)*1000:.1f}ms")
 
     def reset(self):
         from taichislam_tpu.core.grid import reset_grid
         self.state = reset_grid(self.state)
+        self._mark_mesh_dirty_full()
 
     # ------------------------------------------------------------------
     # fixtures
@@ -498,3 +546,4 @@ class DenseTSDF(BaseMap):
     def init_sphere(self):
         self.state = tsdf_ops.init_sphere(self.cfg, self.state,
                                           self.active_submap_id)
+        self._mark_mesh_dirty_full()

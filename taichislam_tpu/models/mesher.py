@@ -2,7 +2,19 @@
 (/root/reference/taichi_slam/mapping/marching_cube_mesher.py:13-27, 189-193):
 ``MarchingCubeMesher(mapping, max_triangles, tsdf_surface_thres)``,
 ``generate_mesh(step)``, ``vertice_num()``, and ``mesh_vertices`` /
-``mesh_colors`` / ``mesh_normals`` flat arrays of ``max_triangles * 3``.
+``mesh_colors`` / ``mesh_normals`` flat arrays.
+
+Incremental re-mesh (TPU-first; the reference re-meshes the whole map every
+frame, marching_cube_mesher.py:180-187): the mapping tracks the union of
+TSDF-touched blocks since the last extraction (``consume_mesh_dirty``), the
+mesher re-extracts ONLY the 26-dilation of that set (corner halos + normal
+probes cross block faces) and patches the per-block triangle spans of the
+persistent host mesh buffer in place. Patched spans are bit-identical to the
+same blocks in a full extraction (the device op reads the full map for
+corners/normals either way). Freed or shrunk spans are filled with
+zero-area (degenerate) triangles; the buffer is compacted when allocation
+runs past the end. Events that can move arbitrary voxels (reset / fuse /
+load / submap switch) force a full re-extraction.
 """
 
 from __future__ import annotations
@@ -17,7 +29,7 @@ from taichislam_tpu.ops import marching_cubes as mc_ops
 class MarchingCubeMesher:
     def __init__(self, mapping, max_triangles=1000000,
                  tsdf_surface_thres=0.1, surface_block_cap=2048,
-                 delivery="quantized"):
+                 delivery="quantized", incremental=True):
         self.mapping = mapping
         self.max_triangles = max_triangles
         self.tsdf_surface_thres = tsdf_surface_thres
@@ -38,8 +50,36 @@ class MarchingCubeMesher:
         self.mesh_colors = np.full((n, 3), 0.5, np.float32)
         self.mesh_normals = np.zeros((n, 3), np.float32)
         self.mesh_indices = None
+        # incremental state: per-block triangle spans over a persistent
+        # buffer (slot -> [start_tri, cap_tri, count_tri])
+        self.incremental = incremental
+        self._spans = {}
+        self._alloc_end = 0
+        self._live_tris = 0
+        self._have_base = False
+        self._inc_block_cap = 64
+        self._inc_mt = 1 << 12
 
+    # ------------------------------------------------------------------
     def generate_mesh(self, step=1):
+        can_inc = (self.incremental and int(step) == 1 and
+                   hasattr(self.mapping, "consume_mesh_dirty"))
+        if can_inc:
+            needs_full, dirty = self.mapping.consume_mesh_dirty()
+            if not needs_full and self._have_base:
+                if dirty is None:
+                    return          # nothing changed since the last mesh
+                self._generate_mesh_incremental(dirty)
+                return
+        self._generate_mesh_full(step)
+
+    def vertice_num(self):
+        return self.num_facelets * 3
+
+    # ------------------------------------------------------------------
+    # full extraction (+ span bookkeeping seeding the incremental path)
+    # ------------------------------------------------------------------
+    def _generate_mesh_full(self, step=1):
         # op cost scales with the static caps, so bucket them to the actual
         # map (powers of two bound recompiles): the block cap to the
         # allocated block count (blocks with surface cells are a subset, so
@@ -55,12 +95,15 @@ class MarchingCubeMesher:
                 self.mapping.cfg, mt, int(step), cap, self.mapping.state,
                 jnp.int32(self.mapping.active_submap_id),
                 jnp.float32(self.tsdf_surface_thres))
-            # ONE packed host fetch for all the counters (each separate
-            # int() is a device round-trip on high-latency links)
-            pack = np.asarray(jnp.stack([out["num_triangles"],
-                                         out["total_triangles"],
-                                         out["surface_blocks_dropped"]]))
-            n_tri, total, dropped = (int(x) for x in pack)
+            # ONE packed host fetch for all the counters AND the per-block
+            # spans (each separate int() is a device round-trip on
+            # high-latency links)
+            pack = np.asarray(jnp.concatenate([
+                jnp.stack([out["num_triangles"], out["total_triangles"],
+                           out["surface_blocks_dropped"],
+                           out["num_surface_blocks"]]),
+                out["block_slots"], out["block_tri_counts"]]))
+            n_tri, total, dropped, bkept = (int(x) for x in pack[:4])
             if total > mt and mt < self.max_triangles:
                 while mt < min(total, self.max_triangles):
                     mt *= 2
@@ -81,6 +124,31 @@ class MarchingCubeMesher:
         while rows < n_tri * 3:
             rows *= 2
         rows = min(rows, mt * 3)
+        self._fetch_rows(out, rows)
+        if total > self.max_triangles:
+            print(f"[Mesher] triangle cap hit: {total} > "
+                  f"{self.max_triangles}")
+        print("Total triangles", self.num_facelets)
+
+        # seed the incremental spans (compact rows ascend by slot; the
+        # output is cell-major so each block's span is contiguous)
+        self._spans = {}
+        self._alloc_end = n_tri
+        self._live_tris = n_tri
+        self._have_base = (self.incremental and int(step) == 1 and
+                           dropped == 0 and total <= mt)
+        if self._have_base:
+            ncap = (len(pack) - 4) // 2
+            slots_np = pack[4:4 + ncap]
+            counts_np = pack[4 + ncap:4 + 2 * ncap]
+            starts = np.cumsum(counts_np) - counts_np
+            for i in range(bkept):
+                c = int(counts_np[i])
+                if c > 0:
+                    self._spans[int(slots_np[i])] = [int(starts[i]), c, c]
+
+    def _fetch_rows(self, out, rows):
+        """Fetch ``rows`` mesh rows into fresh host arrays (one transfer)."""
         if self.delivery == "quantized":
             buf = mc_ops.pack_mesh_delivery(
                 out["vertices"], out["normals"], out["colors"], rows,
@@ -89,7 +157,7 @@ class MarchingCubeMesher:
                 buf, rows, self.enable_texture)
             # dead tail keeps the reference's -1e6 fill (the live prefix
             # is [:num_facelets*3])
-            v[n_tri * 3:] = -1000000.0
+            v[self.num_facelets * 3:] = -1000000.0
             self.mesh_vertices, self.mesh_normals = v, nrm
             self.mesh_colors = col
         else:
@@ -97,10 +165,181 @@ class MarchingCubeMesher:
             self.mesh_vertices = np.asarray(sl(out["vertices"], 0, rows, 0))
             self.mesh_normals = np.asarray(sl(out["normals"], 0, rows, 0))
             self.mesh_colors = np.asarray(sl(out["colors"], 0, rows, 0))
-        if total > self.max_triangles:
-            print(f"[Mesher] triangle cap hit: {total} > "
-                  f"{self.max_triangles}")
-        print("Total triangles", self.num_facelets)
 
-    def vertice_num(self):
-        return self.num_facelets * 3
+    # ------------------------------------------------------------------
+    # incremental re-mesh
+    # ------------------------------------------------------------------
+    def _generate_mesh_incremental(self, dirty):
+        cfg = self.mapping.cfg
+        state = self.mapping.state
+        sub = jnp.int32(self.mapping.active_submap_id)
+        dil = mc_ops.dilate_blocks(cfg, state, sub, dirty)
+        cap = self._inc_block_cap
+        mt = self._inc_mt
+        while True:
+            out = mc_ops.extract_mesh(
+                cfg, mt, 1, cap, state, sub,
+                jnp.float32(self.tsdf_surface_thres), block_mask=dil)
+            pack = np.asarray(jnp.concatenate([
+                jnp.stack([out["num_triangles"], out["total_triangles"],
+                           out["surface_blocks_dropped"],
+                           out["num_surface_blocks"]]),
+                out["block_slots"], out["block_tri_counts"],
+                dil.astype(jnp.int32)]))
+            n_tri, total, dropped, bkept = (int(x) for x in pack[:4])
+            if dropped > 0 and cap < self.surface_block_cap:
+                while cap < min(cap + dropped, self.surface_block_cap):
+                    cap *= 2
+                cap = min(cap, self.surface_block_cap)
+                continue
+            if total > mt and mt < self.max_triangles:
+                while mt < min(total, self.max_triangles):
+                    mt *= 2
+                mt = min(mt, self.max_triangles)
+                continue
+            break
+        self._inc_block_cap = cap
+        self._inc_mt = mt
+        if dropped > 0 or total > self.max_triangles:
+            # can't patch coherently at the caps — fall back to full
+            self._have_base = False
+            self._generate_mesh_full(1)
+            return
+        slots_np = pack[4:4 + cap]
+        counts_np = pack[4 + cap:4 + 2 * cap]
+        dil_np = pack[4 + 2 * cap:].astype(bool)
+
+        rows = 1 << 8
+        while rows < max(n_tri, 1) * 3:
+            rows *= 2
+        rows = min(rows, mt * 3)
+        if self.delivery == "quantized":
+            buf = mc_ops.pack_mesh_delivery(
+                out["vertices"], out["normals"], out["colors"], rows,
+                self.enable_texture)
+            v, nrm, col = mc_ops.unpack_mesh_delivery(
+                buf, rows, self.enable_texture)
+        else:
+            sl = jax.lax.dynamic_slice_in_dim
+            v = np.asarray(sl(out["vertices"], 0, rows, 0))
+            nrm = np.asarray(sl(out["normals"], 0, rows, 0))
+            col = np.asarray(sl(out["colors"], 0, rows, 0))
+
+        starts = np.cumsum(counts_np) - counts_np
+        new = {int(slots_np[i]): (int(starts[i]), int(counts_np[i]))
+               for i in range(bkept)}
+        # blocks in the dilated set that previously had surface but no
+        # longer appear (surface vanished, e.g. carved free): drop spans
+        for slot in [s for s in self._spans
+                     if dil_np[s] and s not in new]:
+            self._free_span(slot)
+        ok = True
+        for slot, (off, cnt) in new.items():
+            if cnt == 0:
+                if slot in self._spans:
+                    self._free_span(slot)
+                continue
+            rs, re = off * 3, (off + cnt) * 3
+            if not self._write_span(slot, cnt, v[rs:re], nrm[rs:re],
+                                    col[rs:re]):
+                ok = False
+                break
+        if not ok:
+            # buffer exhausted even after compaction — full re-extraction
+            self._have_base = False
+            self._generate_mesh_full(1)
+            return
+        self.num_facelets = self._alloc_end
+        self.total_triangles = self._live_tris
+        print("Total triangles", self._live_tris)
+
+    # -- span buffer management ----------------------------------------
+    def _buf_tris(self):
+        return len(self.mesh_vertices) // 3
+
+    def _degenerate_fill(self, start, n):
+        """Zero-area triangles (all three vertices coincide, at the
+        reference's -1e6 fill value) render as nothing; used for freed
+        spans and slack inside span caps."""
+        if n <= 0:
+            return
+        sl = slice(start * 3, (start + n) * 3)
+        self.mesh_vertices[sl] = -1000000.0
+        self.mesh_normals[sl] = 0.0
+        self.mesh_colors[sl] = 0.5
+
+    def _free_span(self, slot):
+        start, capt, cnt = self._spans.pop(slot)
+        self._degenerate_fill(start, capt)
+        self._live_tris -= cnt
+
+    def _grow_buffer(self, need_tris):
+        rows = len(self.mesh_vertices)
+        want = max(rows, 1 << 8)
+        while want < need_tris * 3:
+            want *= 2
+        want = min(want, self.max_triangles * 3)
+        if want <= rows:
+            return False
+        pad = want - rows
+        self.mesh_vertices = np.concatenate(
+            [self.mesh_vertices, np.full((pad, 3), -1000000.0, np.float32)])
+        self.mesh_normals = np.concatenate(
+            [self.mesh_normals, np.zeros((pad, 3), np.float32)])
+        self.mesh_colors = np.concatenate(
+            [self.mesh_colors, np.full((pad, 3), 0.5, np.float32)])
+        return True
+
+    def _compact_buffer(self):
+        """Slide live spans to the front (tight caps), reclaiming freed
+        space and slack; host memcpy at GB/s — cheap vs re-extraction."""
+        order = sorted(self._spans.items(), key=lambda kv: kv[1][0])
+        pos = 0
+        for slot, sp in order:
+            start, capt, cnt = sp
+            if start != pos:
+                for buf in (self.mesh_vertices, self.mesh_normals,
+                            self.mesh_colors):
+                    buf[pos * 3:(pos + cnt) * 3] = \
+                        buf[start * 3:(start + cnt) * 3].copy()
+            sp[0], sp[1] = pos, cnt
+            pos += cnt
+        if pos < self._alloc_end:
+            self.mesh_vertices[pos * 3:self._alloc_end * 3] = -1000000.0
+            self.mesh_normals[pos * 3:self._alloc_end * 3] = 0.0
+            self.mesh_colors[pos * 3:self._alloc_end * 3] = 0.5
+        self._alloc_end = pos
+
+    def _write_span(self, slot, cnt, v, nrm, col):
+        sp = self._spans.get(slot)
+        if sp is not None and cnt <= sp[1]:
+            start, capt, old = sp
+            s3 = start * 3
+            self.mesh_vertices[s3:s3 + cnt * 3] = v
+            self.mesh_normals[s3:s3 + cnt * 3] = nrm
+            self.mesh_colors[s3:s3 + cnt * 3] = col
+            self._degenerate_fill(start + cnt, capt - cnt)
+            sp[2] = cnt
+            self._live_tris += cnt - old
+            return True
+        if sp is not None:
+            self._free_span(slot)
+        capt = 16
+        while capt < cnt:
+            capt *= 2
+        if self._alloc_end + capt > self._buf_tris():
+            if not self._grow_buffer(self._alloc_end + capt):
+                self._compact_buffer()
+                if self._alloc_end + capt > self._buf_tris() and \
+                        not self._grow_buffer(self._alloc_end + capt):
+                    return False
+        start = self._alloc_end
+        self._alloc_end += capt
+        self._spans[slot] = [start, capt, cnt]
+        s3 = start * 3
+        self.mesh_vertices[s3:s3 + cnt * 3] = v
+        self.mesh_normals[s3:s3 + cnt * 3] = nrm
+        self.mesh_colors[s3:s3 + cnt * 3] = col
+        self._degenerate_fill(start + cnt, capt - cnt)
+        self._live_tris += cnt
+        return True

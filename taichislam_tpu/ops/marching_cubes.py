@@ -156,15 +156,42 @@ def _corner_values_halo(halo, V):
     return jnp.stack(outs, axis=-1)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def dilate_blocks(cfg: TSDFConfig, state, active_submap, bitmap):
+    """26-dilate a per-slot block bitmap through the allocated-neighbor
+    table. A block's mesh reads corner samples from its +1 halo and
+    normal probes cross any face, so the re-mesh working set for a set of
+    TSDF-touched blocks is their full 26-neighborhood (allocated blocks
+    of the active submap only)."""
+    nb = cfg.grid.max_blocks + 1
+    nslots = neighbor_slot_table(cfg.grid, state, active_submap)  # (nb,3,3,3)
+    src = bitmap.at[-1].set(False)
+    tgt = jnp.where(src[:, None], nslots.reshape(nb, 27), nb - 1)
+    out = jnp.zeros((nb,), bool).at[tgt.reshape(-1)].set(True)
+    out = (out | bitmap).at[-1].set(False)
+    blk = state.block_active & (state.block_coords[:, 0] == active_submap)
+    return out & blk.at[-1].set(False)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
                  surface_block_cap: int, state, active_submap,
-                 surface_thres):
+                 surface_thres, block_mask=None):
     """Extract the isosurface of the active submap (or global map).
 
     Returns dict with vertices (T*3, 3), normals (T*3, 3), colors (T*3, 3),
     num_triangles, total_triangles (pre-cap), num_surface_blocks,
-    surface_blocks_dropped.
+    surface_blocks_dropped, plus the per-compact-block spans feeding the
+    incremental mesher (models/mesher.py): ``block_slots`` (cap,) storage
+    slot per compact row (ascending-slot order — compaction is a prefix
+    sum) and ``block_tri_counts`` (cap,) triangles per row. Triangles are
+    emitted cell-major over the compact rows, so each block's triangles
+    are one contiguous span of the output.
+
+    With ``block_mask`` (per-slot bool bitmap) extraction is restricted
+    to surface blocks IN THE MASK — the incremental re-mesh path (corner
+    and normal reads still see the full map, so a masked block's
+    triangles are bit-identical to its triangles in a full extraction).
     """
     spec = cfg.grid
     V = spec.V
@@ -179,6 +206,8 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
     # ---- phase 0: compact surface blocks --------------------------------
     anchor = obs_t & (tsdf_t < surface_thres)
     blk_has = jnp.any(anchor.reshape(nb, -1), axis=1) & blk
+    if block_mask is not None:
+        blk_has = blk_has & block_mask
     bpos, bkept, btotal = compact_mask(blk_has, surface_block_cap)
     slot_of = jnp.full((surface_block_cap + 1,), nb - 1, jnp.int32).at[
         bpos].set(jnp.arange(nb, dtype=jnp.int32),
@@ -346,6 +375,9 @@ def extract_mesh(cfg: TSDFConfig, max_triangles: int, step: int,
         "total_triangles": total,
         "num_surface_blocks": bkept,
         "surface_blocks_dropped": jnp.maximum(btotal - surface_block_cap, 0),
+        "block_slots": slot_of,
+        "block_tri_counts": tcount.reshape(cap, spec.voxels_per_block)
+                                  .sum(axis=1),
     }
 
 

@@ -83,6 +83,81 @@ def test_mesh_cap():
     assert mesher.total_triangles > 10
 
 
+def _triangle_rows(mesher):
+    """Canonicalized live triangles: (T, 27) rows of vertex|normal|color,
+    degenerate pad triangles (all three vertices coincide) dropped,
+    lexicographically sorted so buffer layout doesn't matter."""
+    n = mesher.num_facelets
+    v = mesher.mesh_vertices[:n * 3].reshape(n, 3, 3)
+    nr = mesher.mesh_normals[:n * 3].reshape(n, 3, 3)
+    c = mesher.mesh_colors[:n * 3].reshape(n, 3, 3)
+    live = ~(np.all(v[:, 0] == v[:, 1], axis=-1) &
+             np.all(v[:, 0] == v[:, 2], axis=-1))
+    rows = np.concatenate([v[live].reshape(-1, 9), nr[live].reshape(-1, 9),
+                           c[live].reshape(-1, 9)], axis=1)
+    return rows[np.lexsort(rows.T[::-1])]
+
+
+@pytest.mark.slow
+def test_incremental_mesh_matches_full():
+    """Patch-meshing over a depth sequence == full re-mesh, bit-exact
+    (per-block extraction reads the full map, so patched spans are
+    identical triangles; only buffer order differs). The sequence carves
+    a receding wall so blocks both gain and LOSE surface (span adds,
+    rewrites, and removals all exercised)."""
+    m = DenseTSDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_blocks=256,
+                  max_submap_num=4, max_bins=4096)
+    K = np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32)
+    m.set_dep_camera_intrinsic(K)
+    inc = MarchingCubeMesher(m, max_triangles=60000)
+    assert inc.incremental
+    eye = np.eye(3, dtype=np.float32)
+    rng = np.random.default_rng(5)
+    checked = 0
+    for f in range(12):
+        if f < 6:
+            # wall at ~1.2 m with ripple, sensor strafing
+            z = 1200 + 40 * rng.integers(-1, 2, size=(48, 64))
+        else:
+            # wall recedes to ~2.2 m: near blocks carve free
+            z = 2200 + 40 * rng.integers(-1, 2, size=(48, 64))
+        T = np.array([0.03 * f, 0.0, 0.0], np.float32)
+        m.recast_depth_to_map(eye, T, z.astype(np.uint16), None)
+        inc.generate_mesh(1)
+        if f in (0, 3, 6, 11):
+            ref = MarchingCubeMesher(m, max_triangles=60000,
+                                     incremental=False)
+            ref.generate_mesh(1)
+            got, want = _triangle_rows(inc), _triangle_rows(ref)
+            assert got.shape == want.shape, (f, got.shape, want.shape)
+            np.testing.assert_array_equal(got, want, err_msg=f"frame {f}")
+            checked += 1
+    assert checked == 4
+    # spans bookkeeping consistent with live triangles
+    assert inc._live_tris == sum(sp[2] for sp in inc._spans.values())
+    assert inc._alloc_end <= inc._buf_tris()
+
+
+def test_incremental_mesh_noop_when_clean():
+    """A generate_mesh call with no intervening map change is a no-op
+    (the node calls generate_mesh(1) every consumed frame; clean frames
+    must not pay the 17.9 ms full extraction)."""
+    m = DenseTSDF(map_scale=[6.4, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_blocks=256,
+                  max_submap_num=4)
+    m.init_sphere()
+    mesher = MarchingCubeMesher(m, max_triangles=20000)
+    mesher.generate_mesh(1)
+    n0 = mesher.num_facelets
+    v0 = mesher.mesh_vertices.copy()
+    full, bitmap = m._mesh_dirty_full, m._mesh_dirty
+    assert not full and bitmap is None     # consumed by the first mesh
+    mesher.generate_mesh(1)                # clean: early-out
+    assert mesher.num_facelets == n0
+    np.testing.assert_array_equal(mesher.mesh_vertices, v0)
+
+
 def test_quantized_delivery_matches_f32(sphere_mesh):
     # the default "quantized" delivery (one 12-byte/vertex wire buffer)
     # must reproduce the f32 arrays to quantization tolerance: 0.5 mm

@@ -85,14 +85,21 @@ def multi_drone_step(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
 # lifecycle-composed SPMD step (the in-graph SubmapMapping)
 # ---------------------------------------------------------------------------
 
-def make_lifecycle_states(sub_cfg: TSDFConfig, n_drones: int):
+def make_lifecycle_states(sub_cfg: TSDFConfig, n_drones: int,
+                          with_esdf: bool = False):
     """Per-drone lifecycle state, leading drone axis: submap-collection
     grid state + active submap id + frame count + per-drone base-pose
     registry (the host SubmapMapping keeps these in Python,
     submap_mapping.py:126-169; here they are device arrays so keyframe
-    switching runs inside the jitted step)."""
+    switching runs inside the jitted step).
+
+    With ``with_esdf`` the dict also carries each drone's distance field
+    (``esdf``/``fixed`` full-map arrays + the ``pending`` re-queue bitmap
+    chaining still-propagating wavefronts across frames) so every device
+    keeps a planner-ready ESDF — the reference node's ``esdf`` mapping
+    type per drone (/root/reference/scripts/taichislam_node.py:216-218)."""
     S = sub_cfg.max_submap_num
-    return dict(
+    life = dict(
         state=make_drone_states(sub_cfg, n_drones),
         active=jnp.zeros((n_drones,), jnp.int32),
         fcount=jnp.zeros((n_drones,), jnp.int32),
@@ -100,10 +107,20 @@ def make_lifecycle_states(sub_cfg: TSDFConfig, n_drones: int):
                                 (n_drones, S, 3, 3)),
         base_T=jnp.zeros((n_drones, S, 3), jnp.float32),
     )
+    if with_esdf:
+        nb = sub_cfg.grid.max_blocks + 1
+        V3 = sub_cfg.grid.voxels_per_block
+        life["esdf"] = jnp.zeros((n_drones, nb, V3), jnp.float32)
+        life["fixed"] = jnp.zeros((n_drones, nb, V3), jnp.int8)
+        life["pending"] = jnp.zeros((n_drones, nb), bool)
+        life["esdf_stats"] = jnp.zeros((n_drones, 2), jnp.int32)
+    return life
 
 
 def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
-                               mesh: Mesh, axis: str = "drone"):
+                               mesh: Mesh, axis: str = "drone",
+                               esdf_sweeps: int | None = None,
+                               esdf_block_cap: int = 64):
     """Build the jitted SPMD frame step WITH the submap lifecycle
     in-graph — the device analog of
     ``SubmapMapping.recast_depth_to_map_by_frame`` (submap_mapping.py:
@@ -118,6 +135,16 @@ def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
     the drone axis) and depth/R/T/is_keyframe carry a leading drone axis.
     Global fusion is separate (:func:`multi_drone_fuse`) so it can run at
     keyframe cadence like the host orchestrator, not every frame.
+
+    With ``esdf_sweeps`` set, the SAME dispatch also runs each drone's
+    budget-bounded incremental ESDF update (pure per-device compute, no
+    collectives): dirty set = this frame's touched blocks OR the pending
+    re-queue bitmap, identical to the host DenseESDF chaining
+    (models/dense_esdf.py update_esdf). On a working-set overflow
+    (> ``esdf_block_cap``) the frame's whole dirty set re-queues into
+    ``pending`` so dropped blocks are retried next frame — deterministic
+    bounded staleness with no host verdict round-trip. ``esdf_stats``
+    packs per-drone (sweeps_run, overflow) for observability.
     """
     S = sub_cfg.max_submap_num
 
@@ -140,34 +167,53 @@ def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
         baR, baT = bR[act1], bT[act1]
         R_in = baR.T @ R0
         T_in = baR.T @ (T0 - baT)
-        st, _ = tsdf_ops.integrate_depth(
+        st, stats = tsdf_ops.integrate_depth(
             sub_cfg, st, depth[0], jnp.zeros((1, 1, 3), jnp.uint8),
             R_in, T_in, K, K, act1)
 
-        return dict(
+        out = dict(
             state=jax.tree_util.tree_map(lambda x: x[None], st),
             active=act1[None], fcount=(fcnt + 1)[None],
             base_R=bR[None], base_T=bT[None])
+        if esdf_sweeps is not None:
+            from taichislam_tpu.ops import esdf as esdf_ops
+            dirty = stats["touched_blocks"] | life["pending"][0]
+            e, f, _, sweeps, changed, ovf = esdf_ops.esdf_update(
+                sub_cfg, esdf_sweeps, esdf_block_cap, st,
+                life["esdf"][0], life["fixed"][0], act1, dirty)
+            changed = jnp.where(ovf > 0, changed | dirty, changed)
+            out["esdf"] = e[None]
+            out["fixed"] = f[None]
+            out["pending"] = changed[None]
+            out["esdf_stats"] = jnp.stack(
+                [jnp.asarray(sweeps, jnp.int32),
+                 jnp.asarray(ovf, jnp.int32)])[None]
+        return out
 
     sh = P(axis)
+    keys = ["state", "active", "fcount", "base_R", "base_T"]
+    if esdf_sweeps is not None:
+        keys += ["esdf", "fixed", "pending", "esdf_stats"]
+    life_spec = {k: sh for k in keys}
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=({"state": sh, "active": sh, "fcount": sh,
-                   "base_R": sh, "base_T": sh}, sh, sh, sh, sh, P()),
-        out_specs={"state": sh, "active": sh, "fcount": sh,
-                   "base_R": sh, "base_T": sh},
+        in_specs=(life_spec, sh, sh, sh, sh, P()),
+        out_specs=life_spec,
         check_vma=False)
     return jax.jit(fn)
 
 
 def multi_drone_fuse(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
-                     max_fuse_blocks: int, mesh: Mesh, axis: str = "drone"):
+                     max_fuse_blocks: int, mesh: Mesh, axis: str = "drone",
+                     with_esdf: bool = False):
     """Build the jitted all-drone global fusion: every device splats its
     own collection through its OWN base-pose registry, the touched bitmap
     and dense accumulators psum over the drone axis, and every device
     derives the identical replicated global map — the collective analog
     of N sequential ``fuse_submaps`` calls (associative weighted merge).
-    Signature: (life, gstate) -> gstate."""
+    Signature: (life, gstate) -> gstate. Pass ``with_esdf=True`` when
+    ``life`` came from ``make_lifecycle_states(..., with_esdf=True)``
+    (the extra per-drone ESDF keys ride along unused)."""
 
     def local_fuse(life, gstate):
         st = jax.tree_util.tree_map(lambda x: x[0], life["state"])
@@ -187,10 +233,12 @@ def multi_drone_fuse(sub_cfg: TSDFConfig, glob_cfg: TSDFConfig,
                                                wc)
 
     sh = P(axis)
+    keys = ["state", "active", "fcount", "base_R", "base_T"]
+    if with_esdf:
+        keys += ["esdf", "fixed", "pending", "esdf_stats"]
     fn = shard_map(
         local_fuse, mesh=mesh,
-        in_specs=({"state": sh, "active": sh, "fcount": sh,
-                   "base_R": sh, "base_T": sh}, P()),
+        in_specs=({k: sh for k in keys}, P()),
         out_specs=P(),
         check_vma=False)
     return jax.jit(fn)

@@ -359,6 +359,78 @@ def test_sharded_esdf_full_matches_single_device():
 
 
 @pytest.mark.slow
+def test_lifecycle_esdf_matches_host_chain():
+    """The ESDF-composed SPMD lifecycle step (multi_drone_lifecycle_step
+    with esdf_sweeps set) gives every drone a planner-ready distance field
+    in the SAME dispatch as integration — the per-drone analog of the
+    reference node's ``esdf`` mapping type
+    (/root/reference/scripts/taichislam_node.py:216-218). Each drone's
+    esdf/fixed/pending must equal the host single-device
+    integrate+esdf_update chain BIT-EXACT (the per-device compute is
+    purely local)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from taichislam_tpu.ops import esdf as esdf_ops
+    from taichislam_tpu.parallel.multi_drone import (
+        make_lifecycle_states, multi_drone_lifecycle_step)
+
+    n, F, sweeps, cap = 4, 3, 6, 64
+    kstep = 10  # > F: all frames stay in submap 0
+    mesh = make_mesh(n, "drone")
+    rng = np.random.default_rng(7)
+    depths = rng.integers(500, 1300, size=(F, n, 24, 32)).astype(np.uint16)
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (F, n, 3, 3)).copy()
+    Ts = np.zeros((F, n, 3), np.float32)
+    for f in range(F):
+        for d in range(n):
+            Ts[f, d] = [0.08 * f, 0.05 * d, 0.0]
+    kf = np.ones((F, n), bool)
+
+    life = make_lifecycle_states(SUB_CFG, n, with_esdf=True)
+    sh = NamedSharding(mesh, P("drone"))
+    life = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), life)
+    step = multi_drone_lifecycle_step(SUB_CFG, kstep, mesh,
+                                      esdf_sweeps=sweeps,
+                                      esdf_block_cap=cap)
+    for f in range(F):
+        life = step(life, jnp.asarray(depths[f]), jnp.asarray(Rs[f]),
+                    jnp.asarray(Ts[f]), jnp.asarray(kf[f]), K)
+    stats = np.asarray(life["esdf_stats"])
+    assert np.all(stats[:, 0] > 0)         # sweeps ran on every drone
+    assert np.all(stats[:, 1] == 0)        # no working-set overflow
+
+    nb = SUB_CFG.grid.max_blocks + 1
+    V3 = SUB_CFG.grid.voxels_per_block
+    tex = jnp.zeros((1, 1, 3), jnp.uint8)
+    for d in range(n):
+        st = tsdf_ops.make_tsdf_state(SUB_CFG)
+        e = jnp.zeros((nb, V3), jnp.float32)
+        fx = jnp.zeros((nb, V3), jnp.int8)
+        pending = jnp.zeros((nb,), bool)
+        bR, bT = Rs[0, d], Ts[0, d]        # frame-0 pose = submap-0 base
+        for f in range(F):
+            R_in = jnp.asarray(bR.T @ Rs[f, d])
+            T_in = jnp.asarray(bR.T @ (Ts[f, d] - bT))
+            st, istats = tsdf_ops.integrate_depth(
+                SUB_CFG, st, jnp.asarray(depths[f, d]), tex, R_in, T_in,
+                K, K, jnp.int32(0))
+            dirty = istats["touched_blocks"] | pending
+            e, fx, _, sw, changed, ovf = esdf_ops.esdf_update(
+                SUB_CFG, sweeps, cap, st, e, fx, jnp.int32(0), dirty)
+            pending = jnp.where(ovf > 0, changed | dirty, changed)
+        np.testing.assert_array_equal(np.asarray(life["esdf"])[d],
+                                      np.asarray(e))
+        np.testing.assert_array_equal(np.asarray(life["fixed"])[d],
+                                      np.asarray(fx))
+        np.testing.assert_array_equal(np.asarray(life["pending"])[d],
+                                      np.asarray(pending))
+        # the distance field is non-trivial: some observed voxel beyond
+        # the fixed band carries a propagated distance
+        prop = np.asarray(e)[np.asarray(fx) == 0]
+        assert np.any(np.abs(prop) > SUB_CFG.voxel_scale)
+
+
+@pytest.mark.slow
 def test_lifecycle_step_matches_host_submap_mapping():
     """The in-graph submap lifecycle (multi_drone_lifecycle_step: keyframe
     switching, per-drone base-pose registries, world->submap conversion)

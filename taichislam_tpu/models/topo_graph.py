@@ -65,6 +65,26 @@ def _packed_map_query(cfg, is_octo: bool, state, sid, xyz):
                             unobs.astype(jnp.float32)])
 
 
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _packed_facelet_checks(cfg, steps: int, is_octo: bool, state, sid,
+                           centers, starts, normals, maxd):
+    """add_mesh's whole map interaction in ONE dispatch+fetch: the
+    center/start point queries AND the frontier-creation forward raycast
+    for every facelet (the reference runs these inside one kernel,
+    topo_graph.py:324-342; splitting them cost 2 extra RPC round-trips
+    per expanded node on remote-attached devices). Packed layout:
+    [unobs_center | occ_start | hit | length]."""
+    qfn = rc_ops.octomap_point_query if is_octo else rc_ops.tsdf_point_query
+    rfn = rc_ops.octomap_raycast if is_octo else rc_ops.tsdf_raycast
+    _, unobs_c = qfn(cfg, state, sid, centers)
+    occ_s, _ = qfn(cfg, state, sid, starts)
+    hit, _, hl = rfn(cfg, steps, state, sid, starts, normals, maxd)
+    return jnp.concatenate([unobs_c.astype(jnp.float32),
+                            occ_s.astype(jnp.float32),
+                            hit.astype(jnp.float32),
+                            hl.astype(jnp.float32)])
+
+
 def fibonacci_sphere(npoints: int) -> np.ndarray:
     """Uniform unit directions (golden-angle spiral, topo_graph.py:211-224)."""
     phi = np.pi * (3 - np.sqrt(5))
@@ -294,25 +314,36 @@ class TopoGraphGen:
         # frontier detection (topo_graph.py:324-342), batched on device:
         # NOTE: the reference's is_near_pos_occupy(center, 0) iterates an
         # empty range and is always False — only the other checks matter.
+        # ONE dispatch covers the point queries AND the frontier-creation
+        # map raycast for all F facelets; the facelet-collision half of
+        # the combined raycast (topo_graph.py:490-507) stays host-side.
         start_rc = center + normal * self.mapping.voxel_scale
-        # one stacked point query covers center-unobserved + start-occupied
-        occ_both, unobs_both = self._map_query(
-            np.concatenate([center, start_rc]))
-        unobs_c = unobs_both[:F]
-        occ_s = occ_both[F:]
+        m = self.mapping
+        thr = self.frontier_creation_threshold
+        steps = int(np.ceil(thr / m.voxel_scale)) + 1
+        buf = np.asarray(_packed_facelet_checks(
+            m.cfg, steps, isinstance(m, Octomap), m.state,
+            jnp.int32(m.active_submap_id), jnp.asarray(center, jnp.float32),
+            jnp.asarray(start_rc, jnp.float32),
+            jnp.asarray(normal, jnp.float32), jnp.float32(thr)))
+        unobs_c = buf[:F] > 0.5
+        occ_s = buf[F:2 * F] > 0.5
+        sm = buf[2 * F:3 * F] > 0.5
+        tm = buf[3 * F:]
         candidate = (~unobs_c) & (~occ_s)
         is_frontier = np.zeros(F, bool)
         neighbor_nodes = []
         if candidate.any():
             idx = np.nonzero(candidate)[0]
-            # ALL candidate raycasts in ONE call (per-ray origins) — the
-            # round-2 per-candidate loop paid one device dispatch each
-            s, t, _, _, pidx = self.raycast(
-                start_rc[idx], normal[idx],
-                self.frontier_creation_threshold)
+            # combine with the live facelet-collision raycast exactly like
+            # self.raycast: a map hit wins only below the facelet hit
+            sp, _, tp, ip = self._facelet_raycast(start_rc[idx],
+                                                  normal[idx], thr)
+            use_map = (~sp) | (sm[idx] & (tm[idx] < tp))
+            s = np.where(use_map, sm[idx], sp)
             is_frontier[idx[~s]] = True
             neighbor_nodes.extend(
-                int(p) for p in pidx[s & (t == 1)])
+                int(p) for p in ip[s & ~use_map])
 
         self.fl_v0 = np.concatenate([self.fl_v0, v0])
         self.fl_e1 = np.concatenate([self.fl_e1, e1])
@@ -392,11 +423,32 @@ class TopoGraphGen:
         """topo_graph.py:255-282."""
         fr = self.frontiers[frontier_idx]
         normal = fr["projected_normal"]
+        pc = fr["projected_center"] + \
+            normal * self.check_frontier_small_distance
+        sm, _, tm = self._map_raycast(pc[None].astype(np.float32),
+                                      normal[None].astype(np.float32),
+                                      self.max_raycast_dist * 2)
+        return self._verify_frontier_cached(frontier_idx, bool(sm[0]),
+                                            float(tm[0]))
+
+    def _verify_frontier_cached(self, frontier_idx, map_succ, map_t):
+        """verify_frontier with the MAP half of the forward raycast
+        precomputed (the map is static during graph growth, so a batched
+        fan gives identical values to per-visit calls); the facelet half
+        runs live — it must see polyhedra installed by earlier expansions
+        in the same round (reference ordering, topo_graph.py:284-294)."""
+        fr = self.frontiers[frontier_idx]
+        normal = fr["projected_normal"]
         eps = self.check_frontier_small_distance
         pc = fr["projected_center"] + normal * eps
-        succ, t, _, length, _ = self.raycast(pc, normal[None],
-                                             self.max_raycast_dist * 2)
-        succ, length = bool(succ[0]), float(length[0])
+        # combined forward check == self.raycast(pc, normal): map hit wins
+        # only below the facelet hit distance
+        sp, _, tp, _ = self._facelet_raycast(
+            np.asarray(pc, np.float32), normal[None].astype(np.float32),
+            self.max_raycast_dist * 2)
+        use_map = (not bool(sp[0])) or (map_succ and map_t < float(tp[0]))
+        succ = map_succ if use_map else bool(sp[0])
+        length = map_t if use_map else float(tp[0])
         if succ and length < self.frontier_verify_threshold:
             fr["is_valid"] = False
             return False
@@ -417,15 +469,33 @@ class TopoGraphGen:
         return True
 
     def generate_topo_graph(self, start_pt, max_nodes=100, show=False):
-        """topo_graph.py:284-294."""
+        """topo_graph.py:284-294 — same frontier visit order, but each
+        ROUND of pending frontiers shares ONE map-raycast dispatch (the
+        map never changes during growth; only the host-side facelet
+        checks depend on expansion order). One round-trip per round plus
+        two per expanded node, instead of two per frontier visit."""
         self.node_expansion(start_pt, show)
         while (self.search_frontiers_idx < self.num_frontiers and
                self.search_frontiers_idx < max_nodes):
-            if self.verify_frontier(self.search_frontiers_idx):
-                fr = self.frontiers[self.search_frontiers_idx]
-                self.node_expansion(fr["next_node_initial"], show,
-                                    last_node_idx=fr["master_idx"])
-            self.search_frontiers_idx += 1
+            lo = self.search_frontiers_idx
+            hi = min(self.num_frontiers, max_nodes)
+            frs = self.frontiers[lo:hi]
+            eps = self.check_frontier_small_distance
+            pcs = np.stack([f["projected_center"] +
+                            f["projected_normal"] * eps for f in frs]
+                           ).astype(np.float32)
+            nrm = np.stack([f["projected_normal"] for f in frs]
+                           ).astype(np.float32)
+            sm, _, tm = self._map_raycast(pcs, nrm,
+                                          self.max_raycast_dist * 2)
+            for k in range(hi - lo):
+                i = self.search_frontiers_idx
+                if self._verify_frontier_cached(i, bool(sm[k]),
+                                                float(tm[k])):
+                    fr = self.frontiers[i]
+                    self.node_expansion(fr["next_node_initial"], show,
+                                        last_node_idx=fr["master_idx"])
+                self.search_frontiers_idx += 1
         return self.num_nodes
 
     def node_expansion_benchmark(self, start_pt, show=False, run_num=100):

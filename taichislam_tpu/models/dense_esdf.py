@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from taichislam_tpu.models.dense_tsdf import DenseTSDF
+from taichislam_tpu.models.dense_tsdf import DenseTSDF, bin_bucket_for
 from taichislam_tpu.ops import esdf as esdf_ops
 
 
@@ -55,6 +55,10 @@ class DenseESDF(DenseTSDF):
         self._esdf_last_cap = (64, 64)
         self._esdf_pack = None
         self._esdf_dirty_union = None
+        # deferred per-frame path (see _recast_depth_frame_deferred)
+        self._frame_pack = None
+        self._frame_union = None
+        self._esdf_obs_stale = False
         # dirty-window mode sizing (grown via verdict span stats)
         self._esdf_win_dims = (4, 4, 4)
         self._esdf_win_ok = True
@@ -74,9 +78,106 @@ class DenseESDF(DenseTSDF):
 
     # -- ingestion hooks: update ESDF after every TSDF update ----------------
     def recast_depth_to_map(self, R, T, depthmap, texture):
+        if (self.enable_esdf and self.esdf_incremental and
+                self.cfg.esdf_seed_eps_voxels >= 0 and
+                self.esdf_check_interval > 1):
+            # deferred mode: ONE composed device dispatch per frame
+            # (integrate + gated incremental ESDF chained in-graph,
+            # ops/sequence.py with F=1) and ONE packed verdict fetch per
+            # check interval — the per-call API stops paying a dispatch +
+            # sync RPC pair every frame on remote-attached devices.
+            self._recast_depth_frame_deferred(R, T, depthmap, texture)
+            return
         super().recast_depth_to_map(R, T, depthmap, texture)
         if self.enable_esdf:
             self.update_esdf()
+
+    def _recast_depth_frame_deferred(self, R, T, depthmap, texture):
+        """Single-dispatch frame: semantics of ``recast_depth_to_map`` +
+        gated ``update_esdf`` in deferred-check mode. Capacity verdicts
+        (bin/touched buckets, ESDF working-set cap) are accumulated
+        device-side as running maxima and fetched every
+        ``esdf_check_interval`` frames; on a late-detected ESDF overflow
+        the touched-block union re-queues (bounded staleness <= interval
+        frames, the same discipline as update_esdf's deferred mode).
+        Integrate-side drops are corrected at the next check like
+        ``_update_bin_bucket``'s documented deferred behavior."""
+        import jax.numpy as jnp
+        from taichislam_tpu.ops import sequence as seq_ops
+        # device-side expand: inputs may already be device-resident (the
+        # bag replayer stages frames once); np.asarray here would fetch
+        depth1 = jnp.asarray(depthmap)[None]
+        tex1 = (jnp.asarray(texture)[None]
+                if texture is not None and self.enable_texture else None)
+        depths, tex, R_j, T_j, K, Kc = self._sequence_inputs(
+            [R], [T], depth1, tex1)
+        budget = min(self.max_esdf_sweeps, 6)
+        nb = self.cfg.grid.max_blocks + 1
+        nbset = (self._esdf_pending if self._esdf_pending is not None
+                 else jnp.zeros((nb,), bool))
+        (self.state, self.esdf, self.esdf_fixed, self._esdf_pending,
+         self._esdf_seen_tsdf, self._esdf_seen_obs,
+         stats) = seq_ops.integrate_esdf_sequence(
+            self._sequence_cfg(), budget, self._esdf_cap_bucket,
+            self.state, self.esdf, self.esdf_fixed, nbset,
+            self._esdf_seen_tsdf, self._esdf_seen_obs, depths, tex,
+            R_j, T_j, K, Kc, jnp.int32(self.active_submap_id))
+        self.last_stats = stats
+        self._mark_mesh_dirty(stats.get("touched_blocks"))
+        self._esdf_obs_stale = True
+        if self._frame_pack is None:
+            self._frame_pack = jnp.zeros((4,), jnp.int32)
+            self._frame_union = jnp.zeros((nb,), bool)
+        self._frame_pack, self._frame_union = \
+            seq_ops.accumulate_frame_verdict(self._frame_pack,
+                                             self._frame_union, stats)
+        self._esdf_frame += 1
+        if self._esdf_frame % self.esdf_check_interval == 0:
+            self._frame_verdict()
+
+    def _frame_verdict(self):
+        """Act on the interval's accumulated capacity maxima (ONE host
+        fetch): grow the bin/touched/ESDF-cap buckets and re-queue the
+        interval's touched union so late-detected ESDF overflows converge."""
+        import jax.numpy as jnp
+        bins_total, dropped, _live, esdf_ov = (
+            int(x) for x in np.asarray(self._frame_pack))
+        union = self._frame_union
+        self._frame_pack = None
+        self._frame_union = None
+        if dropped > 0:
+            want = min(bin_bucket_for(bins_total), self.cfg.max_bins)
+            if want > self._bin_bucket:
+                self._bin_bucket = want
+            tb = getattr(self, "_touched_bucket",
+                         self.cfg.max_touched_blocks)
+            if tb < self.cfg.max_blocks:
+                self._touched_bucket = min(tb * 2, self.cfg.max_blocks)
+        else:
+            self._bin_bucket = min(bin_bucket_for(bins_total),
+                                   self.cfg.max_bins)
+        if esdf_ov > 0:
+            cap = self._esdf_cap_bucket
+            grown = cap
+            while grown < cap + esdf_ov:
+                grown *= 2
+            self._esdf_cap_bucket = min(grown, self.esdf_block_cap)
+            # re-queue everything the interval touched: dropped blocks'
+            # dirtiness recovers on the next frames
+            self._esdf_pending = (self._esdf_pending | union
+                                  if self._esdf_pending is not None
+                                  else union)
+
+    def _refresh_esdf_observed(self):
+        """Lazy refresh of the export-facing observed mask — the deferred
+        per-frame path doesn't pay its dispatches every frame."""
+        if not self._esdf_obs_stale:
+            return
+        blk = self.state.block_active & (
+            self.state.block_coords[:, 0] == jnp.int32(self.active_submap_id))
+        self.esdf_observed = ((self.state.channels["TSDF_observed"] > 0) &
+                              blk.at[-1].set(False)[:, None])
+        self._esdf_obs_stale = False
 
     def recast_pcl_to_map(self, R, T, xyz_array, rgb_array):
         super().recast_pcl_to_map(R, T, xyz_array, rgb_array)
@@ -371,6 +472,7 @@ class DenseESDF(DenseTSDF):
 
     # -- exports -------------------------------------------------------------
     def cvt_ESDF_to_voxels_slice(self, z, dz=0.5):
+        self._refresh_esdf_observed()
         x, y, zc, esdf, color, n = esdf_ops.esdf_slice_export(
             self.cfg, self.max_disp_particles, self._export_block_bucket(),
             self.state, self.esdf, self.esdf_observed,
@@ -390,6 +492,7 @@ class DenseESDF(DenseTSDF):
 
     def get_esdf_dict(self):
         """Debug/test helper: dict voxel-tuple -> esdf over observed voxels."""
+        self._refresh_esdf_observed()
         from taichislam_tpu.ops.exports import voxel_ijk_all
         ijk = np.asarray(voxel_ijk_all(self.cfg.grid, self.state)).reshape(
             -1, 3)

@@ -316,13 +316,22 @@ class SubmapMapping:
         points exactly as in the per-frame path."""
         run = {"R": [], "T": [], "depth": [], "tex": []}
 
+        def _stack(frames):
+            # device-resident frames stay on device (np.stack would fetch
+            # each one through the link and re-upload the stack)
+            import jax
+            import jax.numpy as jnp
+            if isinstance(frames[0], jax.Array):
+                return jnp.stack(frames)
+            return np.stack(frames)
+
         def flush():
             if not run["R"]:
                 return
-            tex = (np.stack(run["tex"])
+            tex = (_stack(run["tex"])
                    if run["tex"] and run["tex"][0] is not None else None)
             self.submap_collection.recast_depth_sequence(
-                run["R"], run["T"], np.stack(run["depth"]), tex)
+                run["R"], run["T"], _stack(run["depth"]), tex)
             for v in run.values():
                 v.clear()
 

@@ -90,10 +90,10 @@ def integrate_esdf_sequence(cfg: TSDFConfig, esdf_budget: int,
                 stats["lanes_dropped"])
         return (st, es, fx, pend, s_t, s_o), (
             stats["num_bins"] + stats["bins_dropped"], drop,
-            stats["live_lanes"], ov)
+            stats["live_lanes"], ov, stats["touched_blocks"])
 
     (state, esdf, fixed, pending, seen_tsdf, seen_obs), \
-        (bins, drop, live, ov) = jax.lax.scan(
+        (bins, drop, live, ov, touched) = jax.lax.scan(
             body, (state, esdf, fixed, pending, seen_tsdf, seen_obs),
             (depths, textures, Rs, Ts))
     stats = {
@@ -101,5 +101,20 @@ def integrate_esdf_sequence(cfg: TSDFConfig, esdf_budget: int,
         "max_dropped": jnp.max(drop),
         "max_live_lanes": jnp.max(live),
         "max_esdf_overflow": jnp.max(ov),
+        # union over the window (mesh-dirty tracking, models/dense_tsdf.py)
+        "touched_blocks": jnp.any(touched, axis=0),
     }
     return state, esdf, fixed, pending, seen_tsdf, seen_obs, stats
+
+
+@jax.jit
+def accumulate_frame_verdict(pack_prev, union_prev, stats):
+    """Fold one frame's capacity stats into the interval accumulators
+    (deferred per-frame path, models/dense_esdf.py): running maxima of
+    [bins_total, dropped, live_lanes, esdf_overflow] and the union of
+    touched blocks — ONE tiny dispatch per frame instead of a sync."""
+    pack = jnp.stack([stats["max_bins_total"], stats["max_dropped"],
+                      stats["max_live_lanes"],
+                      stats["max_esdf_overflow"]]).astype(jnp.int32)
+    return (jnp.maximum(pack_prev, pack),
+            union_prev | stats["touched_blocks"])

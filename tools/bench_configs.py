@@ -177,10 +177,14 @@ def main():
             sm.set_dep_camera_intrinsic(K)
             for sub in (sm.submap_collection, sm.global_map):
                 sub.capacity_check_interval = 8
-            for i in range(n):
-                sm.recast_depth_to_map_by_frame(
-                    i, True, (eye, Ts[i]), (Rs[i], np.zeros(3, np.float32)),
-                    depth_dev[i], None)
+            # bag-replay ingest: frames between keyframe boundaries fuse
+            # through ONE dispatch window (ops/sequence.py); the submap
+            # lifecycle (finalize -> send -> incremental global fuse) runs
+            # at the split points exactly as per-frame (same API surface,
+            # submap_mapping.py recast_depth_sequence)
+            sm.recast_depth_sequence(
+                (i, True, (eye, Ts[i]), (Rs[i], np.zeros(3, np.float32)),
+                 depth_dev[i], None) for i in range(n))
             return sm
         t_ingest, sm = wall(run_voxgraph, reps=1)
         t_fuse, _ = wall(sm.local_to_global)

@@ -470,6 +470,70 @@ def test_esdf_budget_staleness_adversarial():
     assert err < slack_bound, f"drained staleness {err} m"
 
 
+@pytest.mark.slow
+def test_esdf_budget_cold_frustum_staleness():
+    """Cold-start tightness of budget mode (the headline bench's production
+    knobs): when the camera JUMPS to an unseen region — the worst cold
+    case, a whole frustum of newly allocated blocks seeded at ±max_ray —
+    the NEWLY OBSERVED blocks must be within 2 voxels of the exact drained
+    field after <= 3 budget-3 frames. This bounds exactly the staleness
+    the perf ledger flags for newly exposed regions
+    (docs/PERFORMANCE.md: "reaches meters until re-queued wavefronts
+    finish"): meters of error may persist in the OLD region's shadow, but
+    the sensor frustum the planner is flying into converges in 3 frames.
+    Reference semantics being bounded: per-frame queue drain,
+    /root/reference/taichi_slam/mapping/dense_esdf.py:302-333."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from taichislam_tpu.ops import esdf as esdf_ops
+
+    m = DenseESDF(map_scale=[12.8, 6.4], voxel_scale=0.1,
+                  num_voxel_per_blk_axis=8, max_ray_length=2.0,
+                  min_ray_length=0.3, max_blocks=1024, max_bins=8192,
+                  max_submap_num=8, max_esdf_sweeps=3,
+                  esdf_raise_slack_voxels=0.5,
+                  esdf_dense_max_voxels=0)     # force block-incremental
+    m.cfg = dataclasses.replace(m.cfg, esdf_converge_eps=2e-3)
+    m.set_dep_camera_intrinsic(
+        np.array([40.0, 0, 32.0, 0, 40.0, 24.0, 0, 0, 1], np.float32))
+    R = np.eye(3, dtype=np.float32)
+    rng = np.random.default_rng(11)
+
+    def frame(T):
+        # wall at 1.0 m with +-1-voxel ripple: every frame dirties the
+        # fixed band like a real sensor
+        depth = (1000 + 100 * rng.integers(-1, 2, size=(48, 64))).astype(
+            np.uint16)
+        m.recast_depth_to_map(R, T, depth, None)
+
+    # phase 1: map the home region (budget mode, a few frames)
+    for _ in range(4):
+        frame(np.zeros(3, np.float32))
+    seen_before = np.asarray(m.esdf_observed).any(axis=1)
+
+    # phase 2: jump 4.0 m +x — an entirely new frustum, no overlap
+    T2 = np.array([4.0, 0.0, 0.0], np.float32)
+    for _ in range(3):
+        frame(T2)
+
+    new_blocks = np.asarray(m.esdf_observed).any(axis=1) & ~seen_before
+    assert new_blocks.sum() >= 20      # the jump exposed a real region
+
+    full_cfg = dataclasses.replace(m.cfg, esdf_scan_sweeps=-1)
+    shape = m.esdf.shape
+    e, f, part, _, _, ov = esdf_ops.esdf_update(
+        full_cfg, 64, 1024, m.state, jnp.zeros(shape, jnp.float32),
+        jnp.zeros(shape, jnp.int8), jnp.int32(0))
+    assert int(ov) == 0
+    exact = np.asarray(e)
+    part = np.asarray(part) & new_blocks[:, None]
+    err = np.abs(np.where(part, np.asarray(m.esdf) - exact, 0.0)).max()
+    assert err <= 2 * m.cfg.voxel_scale + 1e-6, \
+        f"cold-frustum staleness {err} m after 3 budget-3 frames"
+
+
 def test_esdf_window_mode_matches_block():
     """Dirty-window dense mode (esdf_update_dense with dirty_blocks): the
     full-window scans must reach the same fixed point as the block-halo

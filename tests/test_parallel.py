@@ -167,6 +167,7 @@ def test_block_sharded_textured_integrate_matches_single_device():
             atol=1e-5, err_msg=k)
 
 
+@pytest.mark.slow
 def test_gather_surface_blocks_export_and_mesh():
     """Surface working set gathered off a sharded map == single-device map
     for surface export and marching cubes."""

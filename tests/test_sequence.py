@@ -70,6 +70,7 @@ def _make_esdf(**kw):
     return m
 
 
+@pytest.mark.slow
 def test_esdf_sequence_matches_per_frame():
     Rs, Ts, depths = _frames(3)
     m_seq = _make_esdf(max_esdf_sweeps=6)

@@ -78,6 +78,7 @@ def test_node_expansion_benchmark_runs(room_map, capsys):
     assert "avg detect_collisions" in out
 
 
+@pytest.mark.slow
 def test_is_near_pos_occupy_radius(room_map):
     """Cube-neighborhood occupancy (mapping_common.py:193-204): radius 0
     checks nothing (range(-0, 0) is empty — the reference's quirk,

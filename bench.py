@@ -36,13 +36,31 @@ def make_inputs(n_frames=50):
     use case (a static scene mapped from a moving robot; the D435 bag). A
     round-1 bench scene instead wobbled the entire world coherently by up
     to 40 mm per frame, which forces a global ESDF field update every
-    frame — physically a moving world, not SLAM."""
+    frame — physically a moving world, not SLAM.
+
+    The render is deterministic (seed 0), so it caches to /tmp: repeat
+    bench/experiment runs in one sandbox skip the ~60 s host raytrace."""
+    import os
+    cache = f"/tmp/taichislam_bench_scene_v2_{n_frames}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return z["depth"], z["Rs"], z["Ts"]
     from taichislam_tpu.utils.synthetic_scene import orbit_sequence
     depth, Rs, Ts, K = orbit_sequence(n_frames=n_frames, noise_mm=3.0)
+    try:
+        np.savez(cache, depth=depth, Rs=Rs, Ts=Ts)
+    except OSError:
+        pass
     return depth, Rs, Ts
 
 
 def main():
+    import sys
+
+    def note(msg, _t0=[time.time()]):
+        print(f"[bench +{time.time()-_t0[0]:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
 
@@ -51,10 +69,14 @@ def main():
     from taichislam_tpu.ops import esdf as esdf_ops
     from taichislam_tpu.ops import tsdf as tsdf_ops
 
+    note("imports done")
     n_frames = 50
     frames, Rs, Ts = make_inputs(n_frames)
+    note("scene rendered")
     frames_j = jnp.asarray(frames)
     Rs_j, Ts_j = jnp.asarray(Rs), jnp.asarray(Ts)
+    jax.block_until_ready(frames_j)
+    note("frames uploaded")
     texture = jnp.zeros((1, 1, 3), jnp.uint8)
     from taichislam_tpu.utils.synthetic_scene import D435_K
     K = jnp.asarray(D435_K)
@@ -67,11 +89,16 @@ def main():
     # (dense_tsdf.py:92-106) at half the HBM traffic; measured within ~2%
     # of f32 end-to-end with 2.8 mm max TSDF deviation
     # (tools/exp_f16_storage.py)
+    # capacities start at this scene's measured steady state (sized_bins /
+    # sized_march_lanes of the last recorded run) so the grow/shrink loop
+    # usually confirms them in ONE compile; the zero-drop guard still
+    # corrects them if the scene or kernels change
     cfg = TSDFConfig(
         map_scale=(10.0, 10.0), voxel_scale=0.05, num_voxel_per_blk_axis=16,
         max_ray_length=3.0, min_ray_length=0.3, recast_step=2,
-        max_blocks=2048, max_bins=32768, max_submap_num=64,
-        max_touched_blocks=256, storage_dtype="float16")
+        max_blocks=2048, max_bins=8192, max_submap_num=64,
+        max_touched_blocks=256, max_march_lanes=524288,
+        storage_dtype="float16")
 
     # RPC latency baseline
     tiny = jax.jit(lambda x: jnp.sum(x))
@@ -185,6 +212,7 @@ def main():
         return max(best - lat, 1e-9) / n_frames * 1000.0, cfg
 
     # ---- size bins on fusion-only ------------------------------------------
+    note("sizing fusion-only")
     ms_fuse, cfg_sized = size_and_time(cfg, esdf_cap=None)
     fps_fuse = 1000.0 / ms_fuse
 
@@ -216,37 +244,88 @@ def main():
     # gating 0.25 voxels (cfg default).
     esdf_cfg = dataclasses.replace(cfg_sized, esdf_raise_slack_voxels=0.5,
                                    esdf_converge_eps=2e-3)
+    note("fusion+esdf budget 3")
     ms_esdf, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=3)
     fps_esdf = 1000.0 / ms_esdf
 
     # ---- secondary: ESDF drained to convergence every frame -----------------
+    note("fusion+esdf drained")
     ms_drained, _ = size_and_time(esdf_cfg, esdf_cap=256, budget=32)
 
-    def run_mc(k):
+    def make_mc_timer(mt, cap, mask, st_ref):
+        """ONE compiled executable timing k back-to-back extractions
+        (k is a traced fori_loop bound, so k=6 and k=2 share the compile
+        — compile count is what bounds this bench's wall time)."""
         @jax.jit
-        def f(state):
-            def body(acc, _):
-                out = mc_ops.extract_mesh(cfg_sized, 1 << 18, 1, sb_cap,
-                                          state, jnp.int32(0),
-                                          thres + 0.0 * acc)
-                return acc + out["num_triangles"].astype(jnp.float32), None
-            acc, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
-            return acc
-        float(f(full_state))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(f(full_state))
-            best = min(best, time.perf_counter() - t0)
-        return best
+        def f(state, k):
+            def body(i, acc):
+                out = mc_ops.extract_mesh(cfg_sized, mt, 1, cap, state,
+                                          jnp.int32(0), thres + 0.0 * acc,
+                                          block_mask=mask)
+                return acc + out["num_triangles"].astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+
+        def timed(k):
+            kj = jnp.int32(k)
+            float(f(st_ref, kj))
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(f(st_ref, kj))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        return timed
+    note("marching cubes full map")
+    run_mc = make_mc_timer(1 << 18, sb_cap, None, full_state)
     mc_ms = (run_mc(6) - run_mc(2)) / 4 * 1000.0
 
+    # ---- secondary: incremental re-mesh (per-frame dirty working set) ------
+    # one more frame integrated on the converged map -> its touched-block
+    # bitmap (the mesh-dirty protocol's per-frame input), 26-dilated (halo
+    # dependencies), extraction restricted to that set — the device cost
+    # the node pays per frame with the incremental mesher
+    # (models/mesher.py) instead of the full-map extraction above.
+    note("incremental re-mesh")
+    st2, stats2 = jax.jit(
+        lambda st, d, Rf, Tf: tsdf_ops.integrate_depth(
+            cfg_sized, st, d, texture, Rf, Tf, K, K, jnp.int32(0)))(
+        full_state, frames_j[0], Rs_j[0], Ts_j[0])
+    dil = mc_ops.dilate_blocks(cfg_sized, st2, jnp.int32(0),
+                               stats2["touched_blocks"])
+    # size the caps in ONE probe (the masked surface-block count is
+    # <= n_dirty, so a pow2-of-n_dirty block cap never drops; the probe's
+    # huge triangle cap then reports the exact total): a grow-and-retry
+    # loop here costs one ~25 s recompile per doubling
+    n_dirty = int(jnp.sum(dil))
+    cap_inc = 64
+    while cap_inc < n_dirty:
+        cap_inc *= 2
+    probe = mc_ops.extract_mesh(cfg_sized, 1 << 18, 1, cap_inc, st2,
+                                jnp.int32(0), thres, block_mask=dil)
+    pk = np.asarray(jnp.stack([probe["total_triangles"],
+                               probe["surface_blocks_dropped"],
+                               probe["num_surface_blocks"]]))
+    assert int(pk[1]) == 0, pk
+    mt_inc = 1 << 12
+    while mt_inc < int(pk[0]):
+        mt_inc *= 2
+    # extraction compute scales with the STATIC block cap; only the dirty
+    # blocks that actually hold surface are kept, so the steady-state cap
+    # (what the mesher's adaptive bucket settles at) is pow2(kept)
+    cap_kept = 64
+    while cap_kept < int(pk[2]):
+        cap_kept *= 2
+    run_mc_inc = make_mc_timer(mt_inc, cap_kept, dil, st2)
+    mesh_update_ms = (run_mc_inc(6) - run_mc_inc(2)) / 4 * 1000.0
+
     # ---- secondary: production-shaped map (8192 blocks) ---------------------
+    note("8192-block map")
     big_cfg = dataclasses.replace(cfg_sized, max_blocks=8192,
                                   map_scale=(40.0, 10.0))
     ms_big, _ = size_and_time(big_cfg, esdf_cap=None)
     fps_big = 1000.0 / ms_big
 
+    note("done; printing")
     print(json.dumps({
         "metric": "depth_fusion_esdf_fps_640x480_5cm",
         "value": round(fps_esdf, 2),
@@ -258,6 +337,9 @@ def main():
             "esdf_budget_sweeps": 3,
             "esdf_drained_fps": round(1000.0 / ms_drained, 2),
             "marching_cubes_full_map_ms": round(mc_ms, 2),
+            "mesh_update_ms": round(mesh_update_ms, 2),
+            "mesh_dirty_blocks": n_dirty,
+            "mesh_dirty_surface_blocks": int(pk[2]),
             "fusion_fps_8192_blocks": round(fps_big, 2),
             "n_frames": n_frames,
             "sized_bins": cfg_sized.max_bins,

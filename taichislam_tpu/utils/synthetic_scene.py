@@ -41,16 +41,19 @@ def render_depth(R, T, K, h, w, room=2.5, boxes=None, z_range=(-1.5, 1.5)):
     if boxes is None:
         boxes = office_boxes()
     fx, cx, fy, cy = K[0], K[2], K[4], K[5]
-    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
-    dirs = np.stack([(ii - cx) / fx, (jj - cy) / fy, np.ones_like(ii, float)],
-                    -1)
+    jj, ii = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    # f32 throughout: plane/slab tests at 307k pixels in f64 dominated the
+    # bench's host setup; f32 keeps depth well inside the u16-mm rounding
+    dirs = np.stack([(ii - cx) / fx, (jj - cy) / fy,
+                     np.ones_like(ii, np.float32)], -1)
     dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
-    dw = dirs @ np.asarray(R, float).T
-    T = np.asarray(T, float)
+    dw = dirs @ np.asarray(R, np.float32).T
+    T = np.asarray(T, np.float32)
 
-    lo = np.array([-room, -room, z_range[0]])
-    hi = np.array([room, room, z_range[1]])
-    t_best = np.full((h, w), np.inf)
+    lo = np.array([-room, -room, z_range[0]], np.float32)
+    hi = np.array([room, room, z_range[1]], np.float32)
+    t_best = np.full((h, w), np.inf, np.float32)
 
     # room walls: nearest plane hit whose point lies on the wall rectangle
     for axis in range(3):
@@ -68,10 +71,11 @@ def render_depth(R, T, K, h, w, room=2.5, boxes=None, z_range=(-1.5, 1.5)):
             t_best = np.minimum(t_best, np.where(ok & inside, t, np.inf))
 
     # boxes: slab-method ray/AABB (vectorized over pixels per box)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv = (1.0 / dw).astype(np.float32)
     for c, half in boxes:
-        blo, bhi = c - half, c + half
-        with np.errstate(divide="ignore", invalid="ignore"):
-            inv = 1.0 / dw
+        blo = (c - half).astype(np.float32)
+        bhi = (c + half).astype(np.float32)
         t1 = (blo - T) * inv
         t2 = (bhi - T) * inv
         tmin = np.max(np.minimum(t1, t2), axis=-1)
@@ -107,8 +111,9 @@ def orbit_sequence(n_frames=40, h=None, w=None, K=None, radius=0.8,
         R = (Rz @ cam_axes).astype(np.float32)
         T = np.array([radius * np.cos(th), radius * np.sin(th),
                       0.1 * np.sin(2 * th)], np.float32)
-        d = render_depth(R, T, K, h, w, room=room).astype(np.float64)
-        d += np.where(d > 0, rng.normal(0, noise_mm, d.shape), 0.0)
+        d = render_depth(R, T, K, h, w, room=room).astype(np.float32)
+        noise = noise_mm * rng.standard_normal(d.shape, dtype=np.float32)
+        d += np.where(d > 0, noise, np.float32(0.0))
         depth[t] = np.clip(d, 0, 65535).astype(np.uint16)
         Rs[t], Ts[t] = R, T
     return depth, Rs, Ts, np.asarray(K, np.float32)

@@ -94,6 +94,10 @@ class DenseTSDF(BaseMap):
         self._mesh_dirty_full = True
         self._mesh_dirty = None
 
+        # deferred incremental-fuse verdict (voxgraph async finalize):
+        # stashed entry state + stats until resolve_deferred_fuse
+        self._pending_fuse = None
+
         # host-side export mirrors (the reference's export_* fields)
         self.num_TSDF_particles = 0
         self.export_TSDF_xyz = np.zeros((0, 3), np.float32)
@@ -280,6 +284,7 @@ class DenseTSDF(BaseMap):
     def _export_block_bucket(self):
         """Static block cap for export jits: pow2-bucketed allocated block
         count (op cost scales with the static cap, not runtime sparsity)."""
+        self.resolve_deferred_fuse()
         return min(exports_ops.pow2_capacity(
             int(self.state.num_blocks) + 1, lo=64), self.cfg.max_blocks)
 
@@ -352,6 +357,7 @@ class DenseTSDF(BaseMap):
     # serialization (dense_tsdf.py:412-515)
     # ------------------------------------------------------------------
     def count_active(self):
+        self.resolve_deferred_fuse()
         return int(exports_ops.count_active(self.cfg, self.state,
                                             jnp.int32(self.active_submap_id)))
 
@@ -365,6 +371,52 @@ class DenseTSDF(BaseMap):
         col_np = np.asarray(col)[:k] if self.enable_texture else np.array([])
         return (np.asarray(idx)[:k], np.asarray(tsdf)[:k],
                 np.asarray(w)[:k], np.asarray(occ)[:k], col_np)
+
+    def export_submap_async(self, lane_bucket, block_bucket,
+                            submap_id=None, state=None):
+        """Dispatch the bitmap-compact packed submap gather WITHOUT
+        fetching it.
+
+        ``lane_bucket`` / ``block_bucket`` are host-known upper bounds on
+        the submap's observed voxel / block counts (the voxgraph async
+        finalize predicts them from wire history, so the boundary costs no
+        device sync; truncation is detectable in the buffer header and the
+        wire worker re-gathers with grown caps). Returns the device
+        buffer; decode it later — typically on a wire worker thread, where
+        the fetch blocks only that thread while the main thread keeps
+        dispatching the next frame window — with
+        :meth:`finish_export_submap`. ``submap_id``/``state`` allow
+        re-gathering an already-finalized submap (its channels are
+        immutable once the collection switches past it)."""
+        sid = self.active_submap_id if submap_id is None else submap_id
+        return exports_ops.bitmap_gather_packed(
+            self.cfg, lane_bucket, block_bucket,
+            self.state if state is None else state, jnp.int32(sid))
+
+    def finish_export_submap(self, buf, lane_bucket, block_bucket):
+        """Fetch + decode an :meth:`export_submap_async` buffer into the
+        same submap dict :meth:`export_submap` returns (wire schema of
+        dense_tsdf.py:462-476) plus an info dict with the header counts
+        (``kept_blocks/total_blocks/kept_vox/total_vox`` — ``total_* >``
+        the cap means the gather truncated and must be redone bigger)."""
+        indices, tsdf, w_tsdf, occupy, color, kept_b, total_b, kept_v, \
+            total_v = exports_ops.unpack_bitmap_packed(
+                buf, lane_bucket, block_bucket, self.cfg.grid.V,
+                self.enable_texture)
+        obj = {
+            "indices": indices,
+            "TSDF": tsdf,
+            "W_TSDF": w_tsdf,
+            "color": color if color.size else np.array([]),
+            "occupy": occupy,
+            "map_scale": [self.map_size_xy, self.map_size_z],
+            "voxel_scale": self.voxel_scale,
+            "texture_enabled": self.enable_texture,
+            "num_voxel_per_blk_axis": self.num_voxel_per_blk_axis,
+        }
+        info = {"kept_blocks": kept_b, "total_blocks": total_b,
+                "kept_vox": kept_v, "total_vox": total_v}
+        return obj, info
 
     def export_submap(self):
         s = time.time()
@@ -457,6 +509,7 @@ class DenseTSDF(BaseMap):
         host, so source overflow cannot happen). The global-side
         touched-tile cap still grows and redoes on overflow."""
         import dataclasses
+        self._pending_fuse = None   # full refuse supersedes a deferred splat
         t = time.time()
         need = int(submaps.state.num_blocks) + 1
         bcap = 64
@@ -481,7 +534,10 @@ class DenseTSDF(BaseMap):
                 jnp.asarray(self.submaps_base_T_np))
             tiles_over = int(stats.get("fuse_tiles_dropped", 0))
             if tiles_over > 0 and touched_cap < self.cfg.max_blocks:
-                while touched_cap < (touched_cap + tiles_over) * 11 // 10:
+                # target computed ONCE: recomputing it per doubling never
+                # terminates ((cap + over) * 1.1 > cap for all cap)
+                target = (touched_cap + tiles_over) * 11 // 10
+                while touched_cap < target:
                     touched_cap *= 2
                 touched_cap = min(touched_cap, self.cfg.max_blocks)
                 continue
@@ -496,17 +552,40 @@ class DenseTSDF(BaseMap):
               f"active local: {submaps.active_submap_id} "
               f"remote: {submaps.remote_submap_num}")
 
-    def fuse_submaps_incremental(self, submaps: "DenseTSDF", submap_id: int):
+    def fuse_submaps_incremental(self, submaps: "DenseTSDF", submap_id: int,
+                                 sub_bcap=None, defer_verdict=False):
         """Splat ONE (newly finished) submap into this global map without
         resetting it. Because the trilinear weighted merge is associative
         (ops/fusion.py), fusing each submap exactly once incrementally
         yields the same global map as the reference's reset + refuse-all —
         until a PGO update moves base poses, when the caller must fall
         back to the full :meth:`fuse_submaps`. Used by
-        ``SubmapMapping(incremental_fuse=True)``."""
+        ``SubmapMapping(incremental_fuse=True)``.
+
+        ``sub_bcap``: host-known upper bound on the submap's OWN block
+        count. The default sizes source lanes to the whole collection's
+        allocated blocks (a device sync + ~Nx wasted masked lanes once N
+        submaps accumulate); the voxgraph finalize passes a predicted
+        per-submap bound instead. ``defer_verdict=True`` skips BOTH
+        overflow readbacks (touched tiles and dropped source blocks): the
+        dispatch returns immediately and the verdicts of the whole pending
+        chain are fetched in one pack at :meth:`resolve_deferred_fuse`
+        (called by :meth:`SubmapMapping.sync` and by every map-reading
+        API), replaying the chain from the single stashed entry state on
+        the (bucket-warmed, rare) overflow — same grow-and-redo discipline
+        as the windowed ingest verdicts. Chaining is sound because
+        finalized submaps are immutable in the collection's grid, so the
+        replay re-reads them from the CURRENT collection state."""
         import dataclasses
+        if not defer_verdict:
+            # a synchronous splat on top of pending deferred ones must
+            # land in order — settle the chain first
+            self.resolve_deferred_fuse()
         t = time.time()
-        need = int(submaps.state.num_blocks) + 1
+        if sub_bcap is not None:
+            need = int(sub_bcap)
+        else:
+            need = int(submaps.state.num_blocks) + 1
         bcap = 64
         while bcap < need:
             bcap *= 2
@@ -514,6 +593,31 @@ class DenseTSDF(BaseMap):
         touched_cap = getattr(self, "_fuse_touched_bucket",
                               self.cfg.max_touched_blocks)
         state0 = self.state
+        if defer_verdict:
+            glob_cfg = dataclasses.replace(self.cfg,
+                                           max_touched_blocks=touched_cap)
+            self.state, stats = fusion_ops.fuse_submaps(
+                submaps.cfg, glob_cfg, bcap, state0,
+                submaps.state, jnp.asarray(self.submaps_base_R_np),
+                jnp.asarray(self.submaps_base_T_np),
+                only_submap=jnp.int32(submap_id))
+            if self._pending_fuse is None:
+                self._pending_fuse = {"state0": state0, "fuses": []}
+            self._pending_fuse["fuses"].append({
+                "submap_id": submap_id, "bcap": bcap,
+                "sub_cfg": submaps.cfg,
+                # current-state getter, NOT a state ref: stashing each
+                # boundary's collection state would pin one full grid copy
+                # per pending fuse; the replay path re-reads the immutable
+                # finished submap from whatever the collection holds then
+                "sub_state_fn": (lambda s=submaps: s.state),
+                "base_R": self.submaps_base_R_np.copy(),
+                "base_T": self.submaps_base_T_np.copy(),
+                "stats": stats,
+            })
+            self.last_stats = stats
+            self._mark_mesh_dirty_full()
+            return
         while True:
             glob_cfg = dataclasses.replace(self.cfg,
                                            max_touched_blocks=touched_cap)
@@ -524,7 +628,10 @@ class DenseTSDF(BaseMap):
                 only_submap=jnp.int32(submap_id))
             tiles_over = int(stats.get("fuse_tiles_dropped", 0))
             if tiles_over > 0 and touched_cap < self.cfg.max_blocks:
-                while touched_cap < (touched_cap + tiles_over) * 11 // 10:
+                # target computed ONCE: recomputing it per doubling never
+                # terminates ((cap + over) * 1.1 > cap for all cap)
+                target = (touched_cap + tiles_over) * 11 // 10
+                while touched_cap < target:
                     touched_cap *= 2
                 touched_cap = min(touched_cap, self.cfg.max_blocks)
                 continue
@@ -535,8 +642,76 @@ class DenseTSDF(BaseMap):
         print(f"[DenseTSDF] Fuse submap {submap_id} incrementally "
               f"{(time.time()-t)*1000:.1f}ms")
 
+    def resolve_deferred_fuse(self):
+        """Settle the deferred incremental-fuse chain: ONE packed fetch
+        reads every pending fuse's capacity verdicts (touched-tile
+        overflow + dropped source blocks). If any fuse overflowed, grow
+        the offending bucket(s) and replay the WHOLE chain from the single
+        stashed entry state (nothing else mutates the global map between
+        boundaries in incremental mode, and finished submaps are immutable
+        in the collection grid, so the replay is exact)."""
+        import dataclasses
+        pend = self._pending_fuse
+        if pend is None:
+            return
+        self._pending_fuse = None
+        fuses = pend["fuses"]
+        pack = np.asarray(jnp.stack(
+            [f["stats"]["fuse_tiles_dropped"] for f in fuses] +
+            [f["stats"]["fuse_dropped"] for f in fuses]).astype(jnp.int32))
+        tiles_over = pack[:len(fuses)]
+        src_over = pack[len(fuses):]
+        touched_cap = getattr(self, "_fuse_touched_bucket",
+                              self.cfg.max_touched_blocks)
+        if int(tiles_over.max(initial=0)) <= 0 and \
+                int(src_over.max(initial=0)) <= 0:
+            return
+        worst = int(tiles_over.max(initial=0))
+        target = (touched_cap + worst) * 11 // 10
+        while touched_cap < target:
+            touched_cap *= 2
+        touched_cap = min(touched_cap, self.cfg.max_blocks)
+        print(f"[DenseTSDF] deferred fuse chain replay: "
+              f"{len(fuses)} fuses, tiles_over={tiles_over.tolist()} "
+              f"src_over={src_over.tolist()} touched_cap={touched_cap}")
+        self.state = pend["state0"]
+        stats = self.last_stats
+        for f, s_over in zip(fuses, src_over.tolist()):
+            bcap = f["bcap"]
+            target = min(bcap + s_over, f["sub_cfg"].max_blocks)
+            while bcap < target:
+                bcap *= 2
+            bcap = min(bcap, f["sub_cfg"].max_blocks)
+            while True:
+                glob_cfg = dataclasses.replace(
+                    self.cfg, max_touched_blocks=touched_cap)
+                self.state, stats = fusion_ops.fuse_submaps(
+                    f["sub_cfg"], glob_cfg, bcap, self.state,
+                    f["sub_state_fn"](), jnp.asarray(f["base_R"]),
+                    jnp.asarray(f["base_T"]),
+                    only_submap=jnp.int32(f["submap_id"]))
+                t_over = int(stats["fuse_tiles_dropped"])
+                s2 = int(stats["fuse_dropped"])
+                if t_over > 0 and touched_cap < self.cfg.max_blocks:
+                    target = (touched_cap + t_over) * 11 // 10
+                    while touched_cap < target:
+                        touched_cap *= 2
+                    touched_cap = min(touched_cap, self.cfg.max_blocks)
+                    continue
+                if s2 > 0 and bcap < f["sub_cfg"].max_blocks:
+                    target = min(bcap + s2, f["sub_cfg"].max_blocks)
+                    while bcap < target:
+                        bcap *= 2
+                    continue
+                break
+        self._fuse_touched_bucket = touched_cap
+        self.last_stats = stats
+        self._mark_mesh_dirty_full()
+
     def reset(self):
         from taichislam_tpu.core.grid import reset_grid
+        # a pending deferred fuse targets the state being discarded
+        self._pending_fuse = None
         self.state = reset_grid(self.state)
         self._mark_mesh_dirty_full()
 

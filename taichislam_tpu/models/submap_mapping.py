@@ -61,6 +61,18 @@ def _decode_submap_npz(data: bytes) -> dict:
             obj[k] = typ(obj[k].item())
     if "map_scale" in obj:
         obj["map_scale"] = np.asarray(obj["map_scale"]).tolist()
+    if "packed_bitmap" in obj:
+        # compact wire schema (async finalize): expand the bitmap-packed
+        # buffer into the standard per-voxel submap dict
+        from taichislam_tpu.ops.exports import unpack_bitmap_packed
+        buf = obj.pop("packed_bitmap")
+        lane_cap = int(obj.pop("lane_cap"))
+        blk_cap = int(obj.pop("block_cap"))
+        idx, tsdf, w, occ, col, *_ = unpack_bitmap_packed(
+            buf, lane_cap, blk_cap, obj["num_voxel_per_blk_axis"],
+            obj["texture_enabled"])
+        obj.update(indices=idx, TSDF=tsdf, W_TSDF=w, occupy=occ,
+                   color=col if np.asarray(col).size else np.array([]))
     return obj
 
 
@@ -84,8 +96,26 @@ def _decode_traj_npz(data: bytes) -> dict:
 class SubmapMapping:
     def __init__(self, submap_type=DenseTSDF, keyframe_step=20, sub_opts={},
                  global_opts={}, autosave_path=None, wire_format="npz",
-                 incremental_fuse=False):
+                 incremental_fuse=False, async_finalize=False):
         assert wire_format in ("npz", "pickle"), wire_format
+        # async_finalize (implies incremental_fuse, DenseTSDF only): the
+        # keyframe finalize becomes non-blocking — the bitmap-packed
+        # submap gather and the incremental global fuse are dispatched
+        # with NO host sync (gather capacities are predicted from wire
+        # history, truncation is re-gathered on the worker; fuse capacity
+        # verdicts chain and settle in one packed fetch at :meth:`sync`),
+        # and the wire fetch + compress + send run on a worker thread,
+        # overlapping the next frame window's device work. Call
+        # :meth:`sync` before reading the global map externally or
+        # asserting on sent wire traffic. Peers see identical submaps in
+        # identical order (single FIFO worker), in the compact
+        # ``packed_bitmap`` wire schema (~5.1 B/voxel vs 11).
+        self.async_finalize = bool(async_finalize) and \
+            submap_type == DenseTSDF
+        incremental_fuse = incremental_fuse or self.async_finalize
+        self._wire_caps = None        # (lane_cap, block_cap) prediction
+        self._wire_q = None
+        self._wire_thread = None
         # incremental local->global: splat only each newly finished submap
         # into the (non-reset) global map; a PGO base-pose update marks the
         # fusion dirty and forces the next fusion to the reference's full
@@ -249,6 +279,10 @@ class SubmapMapping:
         """Ship the finished submap to peers, advance the collection to a
         fresh slot, and refresh the fused global map."""
         finished_sid = self.submap_collection.get_active_submap_id()
+        if self.async_finalize and not self._fusion_dirty and \
+                not self._active_in_global:
+            self._finalize_active_submap_async(finished_sid)
+            return
         finished = self.submap_collection.export_submap()
         self.send_submap(finished)
         self.submap_collection.switch_to_next_submap()
@@ -265,6 +299,153 @@ class SubmapMapping:
             self.local_to_global()
             self._fusion_dirty = False
             self._active_in_global = False
+
+    def _finalize_active_submap_async(self, finished_sid):
+        """Non-blocking keyframe finalize (see ``async_finalize``).
+
+        Steady-state boundaries pay ZERO host syncs: the bitmap-packed
+        gather is dispatched with capacities predicted from the previous
+        submaps' wire headers (the worker re-gathers bigger on the rare
+        truncation — finished submaps stay immutable in the collection
+        grid, so a late re-gather is exact), and the incremental fuse
+        defers its capacity verdict into the chain settled at
+        :meth:`sync`. Only the FIRST boundary fetches one packed scalar
+        pair (block + voxel count) to seed the predictions."""
+        import jax.numpy as jnp
+        from taichislam_tpu.ops import exports as exports_ops
+        col = self.submap_collection
+        gm = self.global_map
+        if self._wire_caps is None:
+            pack = np.asarray(jnp.stack([
+                jnp.asarray(col.state.num_blocks, jnp.int32) + 1,
+                exports_ops.count_active(
+                    col.cfg, col.state, jnp.int32(col.active_submap_id))
+                .astype(jnp.int32)]))
+            self._wire_caps = self._predict_caps(int(pack[0]), int(pack[1]))
+        lane_cap, blk_cap = self._wire_caps
+        state_ref = col.state
+        buf = col.export_submap_async(lane_cap, blk_cap)
+        self._enqueue_wire(buf, lane_cap, blk_cap, finished_sid, state_ref,
+                           self.active_submap_frame_id,
+                           self.pgo_poses[self.active_submap_frame_id])
+        col.switch_to_next_submap()
+        col.clear_last_TSDF_exporting = True
+        gm.fuse_submaps_incremental(col, finished_sid, sub_bcap=blk_cap,
+                                    defer_verdict=True)
+        if self.post_local_to_global_callback is not None:
+            # the fused state is dispatched (eventually consistent up to
+            # the rare deferred-verdict replay)
+            self.post_local_to_global_callback(gm)
+
+    def _predict_caps(self, blocks, vox):
+        """Gather capacities with 25% headroom over an observed (block,
+        voxel) count. The voxel-lane bucket uses {1, 1.25, 1.5}·2^k
+        granularity (dense_tsdf.bin_bucket_for): the fetched wire bytes
+        scale with the bucket, so a pow2 bucket's up-to-2x overshoot is
+        real relay milliseconds."""
+        from taichislam_tpu.models.dense_tsdf import bin_bucket_for
+        from taichislam_tpu.ops import exports as exports_ops
+        col = self.submap_collection
+        blk = min(exports_ops.pow2_capacity(blocks * 5 // 4 + 1, lo=64),
+                  col.cfg.max_blocks)
+        lane = min(max(bin_bucket_for(vox + 1, 5, 4), 8192),
+                   col.cfg.max_blocks * col.cfg.grid.voxels_per_block)
+        return lane, blk
+
+    # -- wire workers (async_finalize) ----------------------------------------
+    # A small thread pool overlaps the per-submap fetch + compress of
+    # consecutive boundaries (each fetch is relay-latency-bound, so two
+    # in flight nearly halve the pipeline); a dedicated sender thread
+    # replays the finished payloads in boundary order so peers see the
+    # same sequence as the synchronous path.
+    def _enqueue_wire(self, buf, lane_cap, blk_cap, sid, state_ref,
+                      frame_id, pose):
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+        if self._wire_thread is None:
+            self._wire_pool = ThreadPoolExecutor(
+                max_workers=3, thread_name_prefix="submap-wire")
+            self._wire_q = queue.Queue()
+            self._wire_thread = threading.Thread(
+                target=self._wire_sender, name="submap-wire-send",
+                daemon=True)
+            self._wire_thread.start()
+        fut = self._wire_pool.submit(self._wire_prepare, buf, lane_cap,
+                                     blk_cap, sid, state_ref, frame_id,
+                                     pose)
+        self._wire_q.put(fut)
+
+    def _wire_prepare(self, buf, lane_cap, blk_cap, sid, state_ref,
+                      frame_id, pose):
+        """Pool task: fetch the packed buffer (re-gathering bigger on the
+        rare truncation), update the capacity predictions, and return the
+        compressed wire payload."""
+        col = self.submap_collection
+        while True:
+            buf_np = np.asarray(buf)   # ONE fetch, off-thread
+            head = buf_np[:16].view(np.int32)
+            total_b, total_v = int(head[1]), int(head[3])
+            if total_b <= blk_cap and total_v <= lane_cap:
+                break
+            # truncated: re-gather the (immutable) submap bigger
+            lane_cap, blk_cap = self._predict_caps(total_b, total_v)
+            print(f"[SubmapMapping] wire re-gather submap {sid}: "
+                  f"{total_b} blocks / {total_v} voxels")
+            buf = col.export_submap_async(lane_cap, blk_cap,
+                                          submap_id=sid, state=state_ref)
+        # grow-only prediction update for the next boundary
+        cand = self._predict_caps(total_b, total_v)
+        cur = self._wire_caps or (0, 0)
+        self._wire_caps = (max(cand[0], cur[0]), max(cand[1], cur[1]))
+        if self.wire_format == "pickle":
+            # interop mode keeps the expanded per-voxel pickle schema
+            obj, _ = col.finish_export_submap(buf_np, lane_cap, blk_cap)
+            obj["frame_id"] = frame_id
+            obj["pose"] = pose
+            f = io.BytesIO()
+            np.save(f, obj)
+            raw = f.getvalue()
+        else:
+            obj = {
+                "packed_bitmap": buf_np,
+                "lane_cap": np.int64(lane_cap),
+                "block_cap": np.int64(blk_cap),
+                "map_scale": [col.map_size_xy, col.map_size_z],
+                "voxel_scale": col.voxel_scale,
+                "texture_enabled": col.enable_texture,
+                "num_voxel_per_blk_axis": col.num_voxel_per_blk_axis,
+                "frame_id": frame_id,
+                "pose": pose,
+            }
+            raw = _encode_submap_npz(obj)
+        return raw, zlib.compress(raw, 1)
+
+    def _wire_sender(self):
+        while True:
+            fut = self._wire_q.get()
+            try:
+                raw, compressed = fut.result()
+                self.map_send_handle(compressed)
+                print(f"[SubmapMapping] Send submap with "
+                      f"{len(raw)/1024:.1f} kB, compressed "
+                      f"{len(compressed)/1024:.1f}kB (async wire)")
+            except Exception as e:   # keep the sender alive; report
+                print(f"[SubmapMapping] wire worker error: {e!r}")
+            finally:
+                self._wire_q.task_done()
+
+    def wire_join(self):
+        """Block until every enqueued submap has been fetched + sent."""
+        if self._wire_q is not None:
+            self._wire_q.join()
+
+    def sync(self):
+        """Quiesce the async finalize machinery: drain the wire worker and
+        settle the deferred fuse-verdict chain. Call before reading the
+        global map from outside or asserting on sent wire traffic."""
+        self.wire_join()
+        self.global_map.resolve_deferred_fuse()
 
     def create_new_submap(self, frame_id, R, T):
         if not self.first_init:
@@ -403,6 +584,9 @@ class SubmapMapping:
     def send_submap(self, submap):
         submap["frame_id"] = self.active_submap_frame_id
         submap["pose"] = self.pgo_poses[self.active_submap_frame_id]
+        self._encode_and_send_submap(submap)
+
+    def _encode_and_send_submap(self, submap):
         if self.wire_format == "pickle":
             f = io.BytesIO()
             np.save(f, submap)
@@ -490,6 +674,7 @@ class SubmapMapping:
         """
         if self.frame_count == 0 or self.first_init:
             return
+        self.sync()   # earlier async sends must precede the trailing one
         self.send_submap(self.submap_collection.export_submap())
 
     def saveMap(self, filename):

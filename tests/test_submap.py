@@ -154,6 +154,65 @@ def test_compat_shim_imports():
     assert S2 is SubmapMapping
 
 
+def _decode_sent_submaps(bufs):
+    import zlib
+    from taichislam_tpu.models.submap_mapping import _decode_submap_npz
+    return [_decode_submap_npz(zlib.decompress(b)) for b in bufs]
+
+
+def test_async_finalize_matches_sync():
+    """async_finalize=True (non-blocking keyframe finalize: deferred fuse
+    verdict + wire worker thread) must produce, after sync(), the same
+    global map and the same wire traffic as the synchronous incremental
+    path — including when an under-sized touched bucket forces the
+    deferred-verdict redo."""
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    sent = {True: [], False: []}
+
+    def build(async_):
+        sm = SubmapMapping(DenseTSDF, keyframe_step=2, sub_opts=SUB_OPTS,
+                           global_opts=GLOB_OPTS, incremental_fuse=True,
+                           async_finalize=async_)
+        sm.set_dep_camera_intrinsic(K_DEP)
+        sm.map_send_handle = sent[async_].append
+        return sm
+
+    sm_a, sm_s = build(True), build(False)
+    # force the deferred-verdict grow-and-redo path on the async side
+    sm_a.global_map._fuse_touched_bucket = 1
+    for t in range(6):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        for sm in (sm_a, sm_s):
+            sm.recast_depth_to_map_by_frame(t, True, pose, ext,
+                                            depth_frame(t), None)
+    for sm in (sm_a, sm_s):
+        sm.flush()     # trailing submap; sync() happens inside for async
+    assert sm_a.global_map._pending_fuse is None
+
+    def global_dict(sm):
+        idx, tsdf, w, occ, _ = sm.global_map.to_numpy()
+        return {tuple(i): (t, ww) for i, t, ww in zip(idx, tsdf, w)}
+
+    a, s = global_dict(sm_a), global_dict(sm_s)
+    assert a.keys() == s.keys() and len(a) > 0
+    for k in s:
+        np.testing.assert_allclose(a[k], s[k], atol=1e-4)
+
+    subs_a = _decode_sent_submaps(sent[True])
+    subs_s = _decode_sent_submaps(sent[False])
+    assert len(subs_a) == len(subs_s) == 3   # 2 finalized + 1 flush
+    for da, ds in zip(subs_a, subs_s):
+        assert da["frame_id"] == ds["frame_id"]
+        assert da.keys() == ds.keys()
+        order_a = np.lexsort(np.asarray(da["indices"], np.int64).T)
+        order_s = np.lexsort(np.asarray(ds["indices"], np.int64).T)
+        for key in ("indices", "TSDF", "W_TSDF", "occupy"):
+            np.testing.assert_allclose(
+                np.asarray(da[key], np.float32)[order_a],
+                np.asarray(ds[key], np.float32)[order_s], atol=1e-3)
+
+
 def test_incremental_fuse_matches_full():
     """incremental_fuse=True (splat each finished submap once into the
     non-reset global) must equal the reference's reset + refuse-all at

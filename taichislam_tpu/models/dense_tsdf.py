@@ -682,11 +682,15 @@ class DenseTSDF(BaseMap):
             while bcap < target:
                 bcap *= 2
             bcap = min(bcap, f["sub_cfg"].max_blocks)
+            # weighted TSDF fusion is not idempotent: every retry must
+            # start from this fuse's entry state, never from the result a
+            # failed attempt already wrote into self.state
+            entry = self.state
             while True:
                 glob_cfg = dataclasses.replace(
                     self.cfg, max_touched_blocks=touched_cap)
                 self.state, stats = fusion_ops.fuse_submaps(
-                    f["sub_cfg"], glob_cfg, bcap, self.state,
+                    f["sub_cfg"], glob_cfg, bcap, entry,
                     f["sub_state_fn"](), jnp.asarray(f["base_R"]),
                     jnp.asarray(f["base_T"]),
                     only_submap=jnp.int32(f["submap_id"]))

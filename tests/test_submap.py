@@ -259,3 +259,55 @@ def test_incremental_fuse_matches_full():
             sm.recast_depth_to_map_by_frame(t, True, pose, ext,
                                             depth_frame(t), None)
     check_equal()
+
+
+def test_deferred_fuse_in_replay_retry_is_idempotent():
+    """An in-replay overflow retry must re-fuse from that fuse's ENTRY
+    state, not from the partial result the failed attempt already wrote
+    into self.state — weighted TSDF fusion is not idempotent, so the
+    buggy form double-counts weights (advisor r4, high). We force the
+    in-replay retry by under-reporting the stashed dropped-sources
+    verdict so the replay's pre-grown source cap is still too small."""
+    import jax.numpy as jnp
+    eye = np.eye(3, dtype=np.float32)
+
+    def rotz(a):
+        c, s = np.cos(a), np.sin(a)
+        return np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+    # small blocks so the submap spans >128 source blocks: the deferred
+    # attempt at sub_bcap=64 drops sources, and a pre-grow to 128 (from
+    # the tampered verdict) still drops, firing the in-replay retry
+    opts = dict(SUB_OPTS, num_voxel_per_blk_axis=4, max_blocks=1024)
+    sub = DenseTSDF(**opts)
+    sub.set_dep_camera_intrinsic(K_DEP)
+    for t in range(6):
+        R = rotz(t * np.pi / 3)
+        T = np.array([0.2 * (t % 3), 0.2 * (t % 2), 0.1 * t], np.float32)
+        sub.recast_depth_to_map(R, T, depth_frame(t), None)
+    assert int(sub.state.num_blocks) > 128
+
+    def make_glob():
+        g = DenseTSDF(**GLOB_OPTS)
+        g.set_base_pose_submap(0, eye, np.zeros(3, np.float32))
+        return g
+
+    g_sync = make_glob()
+    g_sync.fuse_submaps_incremental(sub, 0)
+
+    g_def = make_glob()
+    g_def.fuse_submaps_incremental(sub, 0, sub_bcap=64, defer_verdict=True)
+    st = g_def._pending_fuse["fuses"][0]["stats"]
+    assert int(st["fuse_dropped"]) > 0, "fixture must drop sources"
+    st["fuse_dropped"] = jnp.int32(1)  # pre-grow lands short (64 -> 128)
+    g_def.resolve_deferred_fuse()
+    assert g_def._pending_fuse is None
+
+    def gdict(g):
+        idx, tsdf, w, occ, _ = g.to_numpy()
+        return {tuple(i): (t, ww) for i, t, ww in zip(idx, tsdf, w)}
+
+    a, s = gdict(g_def), gdict(g_sync)
+    assert a.keys() == s.keys() and len(a) > 0
+    for k in s:
+        np.testing.assert_allclose(a[k], s[k], rtol=1e-3, atol=0)

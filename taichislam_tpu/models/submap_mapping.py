@@ -24,6 +24,7 @@ peers; otherwise they are dropped with a warning.
 from __future__ import annotations
 
 import io
+import threading
 import time
 import zlib
 
@@ -114,8 +115,10 @@ class SubmapMapping:
             submap_type == DenseTSDF
         incremental_fuse = incremental_fuse or self.async_finalize
         self._wire_caps = None        # (lane_cap, block_cap) prediction
+        self._wire_caps_lock = threading.Lock()
         self._wire_q = None
         self._wire_thread = None
+        self._wire_errors = []        # failed async sends, raised at join
         # incremental local->global: splat only each newly finished submap
         # into the (non-reset) global map; a PGO base-pose update marks the
         # fusion dirty and forces the next fusion to the reference's full
@@ -284,6 +287,10 @@ class SubmapMapping:
             self._finalize_active_submap_async(finished_sid)
             return
         finished = self.submap_collection.export_submap()
+        if self.async_finalize:
+            # FIFO: peers must receive submaps in boundary order — drain
+            # any queued async sends before this direct (fallback) one
+            self.wire_join()
         self.send_submap(finished)
         self.submap_collection.switch_to_next_submap()
         self.submap_collection.clear_last_TSDF_exporting = True
@@ -394,10 +401,13 @@ class SubmapMapping:
                   f"{total_b} blocks / {total_v} voxels")
             buf = col.export_submap_async(lane_cap, blk_cap,
                                           submap_id=sid, state=state_ref)
-        # grow-only prediction update for the next boundary
+        # grow-only prediction update for the next boundary (locked:
+        # up to 3 pool threads race this read-modify-write, and a lost
+        # update could shrink the grow-only prediction)
         cand = self._predict_caps(total_b, total_v)
-        cur = self._wire_caps or (0, 0)
-        self._wire_caps = (max(cand[0], cur[0]), max(cand[1], cur[1]))
+        with self._wire_caps_lock:
+            cur = self._wire_caps or (0, 0)
+            self._wire_caps = (max(cand[0], cur[0]), max(cand[1], cur[1]))
         if self.wire_format == "pickle":
             # interop mode keeps the expanded per-voxel pickle schema
             obj, _ = col.finish_export_submap(buf_np, lane_cap, blk_cap)
@@ -430,15 +440,26 @@ class SubmapMapping:
                 print(f"[SubmapMapping] Send submap with "
                       f"{len(raw)/1024:.1f} kB, compressed "
                       f"{len(compressed)/1024:.1f}kB (async wire)")
-            except Exception as e:   # keep the sender alive; report
+            except Exception as e:   # keep the sender alive; surface the
+                # failure at wire_join()/sync() — a silently dropped send
+                # would diverge peers from the local global map
                 print(f"[SubmapMapping] wire worker error: {e!r}")
+                self._wire_errors.append(e)
             finally:
                 self._wire_q.task_done()
 
     def wire_join(self):
-        """Block until every enqueued submap has been fetched + sent."""
+        """Block until every enqueued submap has been fetched + sent.
+
+        Raises if any async send failed: peers would otherwise silently
+        never receive a submap the local global map already contains."""
         if self._wire_q is not None:
             self._wire_q.join()
+        if self._wire_errors:
+            errs, self._wire_errors = self._wire_errors, []
+            raise RuntimeError(
+                f"{len(errs)} async submap send(s) failed; peers are "
+                f"missing those submaps: {errs[0]!r}") from errs[0]
 
     def sync(self):
         """Quiesce the async finalize machinery: drain the wire worker and

@@ -311,3 +311,71 @@ def test_deferred_fuse_in_replay_retry_is_idempotent():
     assert a.keys() == s.keys() and len(a) > 0
     for k in s:
         np.testing.assert_allclose(a[k], s[k], rtol=1e-3, atol=0)
+
+
+def test_async_fallback_send_preserves_fifo_order():
+    """A boundary that falls back to the synchronous finalize (PGO set
+    _fusion_dirty) must not let its direct send overtake queued async
+    sends — peers must see submaps in boundary order (advisor r4)."""
+    import time as _time
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    sent = []
+    sm = SubmapMapping(DenseTSDF, keyframe_step=2, sub_opts=SUB_OPTS,
+                       global_opts=GLOB_OPTS, incremental_fuse=True,
+                       async_finalize=True)
+    sm.set_dep_camera_intrinsic(K_DEP)
+    sm.map_send_handle = sent.append
+
+    # slow the async prepare so a queue-jumping fallback send would win
+    orig_prepare = sm._wire_prepare
+
+    def slow_prepare(*a, **kw):
+        # must outlast the frames between this boundary and the fallback
+        # one, so the async send is still queued when the fallback fires
+        _time.sleep(4.0)
+        return orig_prepare(*a, **kw)
+
+    sm._wire_prepare = slow_prepare
+    for t in range(4):   # boundary at t=2 finalizes submap 0 (async)
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        sm.recast_depth_to_map_by_frame(t, True, pose, ext,
+                                        depth_frame(t), None)
+        if t == 2:
+            # PGO touches fused poses -> next boundary takes the
+            # synchronous fallback path while submap 0 is still queued
+            sm.set_frame_poses({0: (eye, np.array([0.3, 0, 0],
+                                                  np.float32))})
+    assert sm._fusion_dirty
+    sm.recast_depth_to_map_by_frame(4, True,
+                                    (eye, np.array([0.4, 0, 0],
+                                                   np.float32)),
+                                    ext, depth_frame(4), None)
+    sm.flush()
+    frame_ids = [int(d["frame_id"]) for d in _decode_sent_submaps(sent)]
+    assert frame_ids == sorted(frame_ids), \
+        f"wire order violated: {frame_ids}"
+
+
+def test_async_wire_failure_surfaces_at_sync():
+    """A failed async send must raise at wire_join()/sync(), not drop the
+    submap silently while the local global map keeps it (advisor r4)."""
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    sm = SubmapMapping(DenseTSDF, keyframe_step=2, sub_opts=SUB_OPTS,
+                       global_opts=GLOB_OPTS, incremental_fuse=True,
+                       async_finalize=True)
+    sm.set_dep_camera_intrinsic(K_DEP)
+
+    def broken_send(buf):
+        raise IOError("transport down")
+
+    sm.map_send_handle = broken_send
+    for t in range(3):   # boundary at t=2 enqueues an async send
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        sm.recast_depth_to_map_by_frame(t, True, pose, ext,
+                                        depth_frame(t), None)
+    with pytest.raises(RuntimeError, match="async submap send"):
+        sm.sync()
+    # errors are consumed: a later sync() does not re-raise
+    sm.sync()

@@ -139,6 +139,30 @@ class Octomap(BaseMap):
               f"active local: {submaps.active_submap_id} "
               f"remote: {submaps.remote_submap_num}")
 
+    def fuse_submaps_incremental(self, submaps: "Octomap", submap_id: int,
+                                 sub_bcap=None, defer_verdict=False):
+        """Splat ONE finished submap into this global map without resetting
+        it. Hit-count accumulation is associative (occupy += submap_occ,
+        taichi_octomap.py:186), so fusing each submap exactly once equals
+        the reference's reset + refuse-all — until PGO moves base poses,
+        when SubmapMapping falls back to the full :meth:`fuse_submaps`.
+        ``sub_bcap``/``defer_verdict`` are accepted for signature parity
+        with DenseTSDF; the occupancy splat has no capacity verdicts (its
+        source lanes span the collection grid, which cannot drop)."""
+        t = time.time()
+        self.state = occ_ops.fuse_submaps(
+            submaps.cfg, self.cfg, self.state, submaps.state,
+            jnp.asarray(self.submaps_base_R_np),
+            jnp.asarray(self.submaps_base_T_np),
+            jnp.int32(submaps.max_submap_num),
+            only_submap=jnp.int32(submap_id))
+        print(f"[OctoMap] Fuse submap {submap_id} incrementally "
+              f"{(time.time()-t)*1000:.1f}ms")
+
+    def resolve_deferred_fuse(self):
+        """No-op: octomap fuses dispatch eagerly with no deferred capacity
+        verdicts (see :meth:`fuse_submaps_incremental`)."""
+
     def reset(self):
         from taichislam_tpu.core.grid import reset_grid
         self.state = reset_grid(self.state)

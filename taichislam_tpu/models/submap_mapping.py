@@ -99,20 +99,22 @@ class SubmapMapping:
                  global_opts={}, autosave_path=None, wire_format="npz",
                  incremental_fuse=False, async_finalize=False):
         assert wire_format in ("npz", "pickle"), wire_format
-        # async_finalize (implies incremental_fuse, DenseTSDF only): the
-        # keyframe finalize becomes non-blocking — the bitmap-packed
-        # submap gather and the incremental global fuse are dispatched
-        # with NO host sync (gather capacities are predicted from wire
-        # history, truncation is re-gathered on the worker; fuse capacity
-        # verdicts chain and settle in one packed fetch at :meth:`sync`),
-        # and the wire fetch + compress + send run on a worker thread,
+        # async_finalize (implies incremental_fuse): the keyframe finalize
+        # becomes non-blocking — the submap gather and the incremental
+        # global fuse are dispatched with NO host sync (DenseTSDF: gather
+        # capacities are predicted from wire history, truncation is
+        # re-gathered on the worker; fuse capacity verdicts chain and
+        # settle in one packed fetch at :meth:`sync`. Octomap: the wire
+        # submap is the reference's empty dict and the hit-count splat has
+        # no verdicts, so the boundary is zero-sync by construction), and
+        # the wire fetch + compress + send run on a worker thread,
         # overlapping the next frame window's device work. Call
         # :meth:`sync` before reading the global map externally or
         # asserting on sent wire traffic. Peers see identical submaps in
-        # identical order (single FIFO worker), in the compact
+        # identical order (single FIFO worker); DenseTSDF ships the compact
         # ``packed_bitmap`` wire schema (~5.1 B/voxel vs 11).
         self.async_finalize = bool(async_finalize) and \
-            submap_type == DenseTSDF
+            submap_type in (DenseTSDF, Octomap)
         incremental_fuse = incremental_fuse or self.async_finalize
         self._wire_caps = None        # (lane_cap, block_cap) prediction
         self._wire_caps_lock = threading.Lock()
@@ -122,9 +124,10 @@ class SubmapMapping:
         # incremental local->global: splat only each newly finished submap
         # into the (non-reset) global map; a PGO base-pose update marks the
         # fusion dirty and forces the next fusion to the reference's full
-        # reset + refuse-all (dense_tsdf.py:309-318). Equivalence-tested in
-        # tests/test_submap.py. DenseTSDF only.
-        self.incremental_fuse = incremental_fuse and submap_type == DenseTSDF
+        # reset + refuse-all (dense_tsdf.py:309-318, taichi_octomap.py:195).
+        # Equivalence-tested in tests/test_submap.py.
+        self.incremental_fuse = incremental_fuse and \
+            submap_type in (DenseTSDF, Octomap)
         self._fusion_dirty = False
         self._active_in_global = False
         if submap_type == DenseTSDF:
@@ -322,6 +325,20 @@ class SubmapMapping:
         from taichislam_tpu.ops import exports as exports_ops
         col = self.submap_collection
         gm = self.global_map
+        if self.submap_type == Octomap:
+            # the octomap wire submap is the reference's empty dict
+            # (taichi_octomap.py:204-205) + frame_id/pose — nothing to
+            # gather from the device, but the payload still rides the FIFO
+            # sender so peers see boundaries in order with any queued
+            # DenseTSDF-style sends
+            obj = {"frame_id": self.active_submap_frame_id,
+                   "pose": self.pgo_poses[self.active_submap_frame_id]}
+            self._enqueue_wire_payload(obj)
+            col.switch_to_next_submap()
+            gm.fuse_submaps_incremental(col, finished_sid)
+            if self.post_local_to_global_callback is not None:
+                self.post_local_to_global_callback(gm)
+            return
         if self._wire_caps is None:
             pack = np.asarray(jnp.stack([
                 jnp.asarray(col.state.num_blocks, jnp.int32) + 1,
@@ -365,8 +382,7 @@ class SubmapMapping:
     # in flight nearly halve the pipeline); a dedicated sender thread
     # replays the finished payloads in boundary order so peers see the
     # same sequence as the synchronous path.
-    def _enqueue_wire(self, buf, lane_cap, blk_cap, sid, state_ref,
-                      frame_id, pose):
+    def _ensure_wire_workers(self):
         import queue
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -378,9 +394,30 @@ class SubmapMapping:
                 target=self._wire_sender, name="submap-wire-send",
                 daemon=True)
             self._wire_thread.start()
+
+    def _enqueue_wire(self, buf, lane_cap, blk_cap, sid, state_ref,
+                      frame_id, pose):
+        self._ensure_wire_workers()
         fut = self._wire_pool.submit(self._wire_prepare, buf, lane_cap,
                                      blk_cap, sid, state_ref, frame_id,
                                      pose)
+        self._wire_q.put(fut)
+
+    def _enqueue_wire_payload(self, obj):
+        """FIFO-enqueue an already-assembled submap dict (no device fetch
+        needed — the octomap boundary); encoding + compression still run
+        off-thread and the bytes match the synchronous path's exactly."""
+        self._ensure_wire_workers()
+
+        def prep():
+            if self.wire_format == "pickle":
+                f = io.BytesIO()
+                np.save(f, obj)
+                raw = f.getvalue()
+            else:
+                raw = _encode_submap_npz(obj)
+            return raw, zlib.compress(raw, 1)
+        fut = self._wire_pool.submit(prep)
         self._wire_q.put(fut)
 
     def _wire_prepare(self, buf, lane_cap, blk_cap, sid, state_ref,

@@ -170,11 +170,17 @@ def occupy_export(cfg: OctomapConfig, capacity: int, level: int,
 @partial(jax.jit, static_argnums=(0, 1))
 def fuse_submaps(sub_cfg: OctomapConfig, glob_cfg: OctomapConfig,
                  global_state: GridState, sub_state: GridState,
-                 base_R, base_T, num_submaps):
+                 base_R, base_T, num_submaps, only_submap=None):
     """fuse_submaps_kernel (taichi_octomap.py:171-189): for every submap
     voxel over threshold, add its count at the nearest global voxel; color is
     overwritten (the reference's blend is commented out). The submap
-    collection and the global map may have different grid extents."""
+    collection and the global map may have different grid extents.
+
+    ``only_submap`` (traced int32, optional) restricts the sources to ONE
+    submap — the incremental local->global splat: hit-count accumulation is
+    associative, so splatting each finished submap exactly once equals the
+    reset + refuse-all path (SubmapMapping's non-blocking octomap
+    finalize)."""
     from taichislam_tpu.core.grid import block_origin_voxel, voxel_to_block_c
     from taichislam_tpu.ops.exports import _intra_offsets_np
 
@@ -184,6 +190,8 @@ def fuse_submaps(sub_cfg: OctomapConfig, glob_cfg: OctomapConfig,
     occ = sub_state.channels["occupy"].reshape(nb, -1)
     src_sub = sub_state.block_coords[:, 0]
     src_ok = sub_state.block_active & (src_sub >= 0) & (src_sub < num_submaps)
+    if only_submap is not None:
+        src_ok = src_ok & (src_sub == only_submap)
     src_ok = src_ok.at[-1].set(False)
     mask = jnp.broadcast_to(src_ok[:, None], occ.shape) & (
         occ > sub_cfg.min_occupy_thres)

@@ -213,6 +213,71 @@ def test_async_finalize_matches_sync():
                 np.asarray(ds[key], np.float32)[order_s], atol=1e-3)
 
 
+def test_async_finalize_matches_sync_octomap():
+    """async_finalize with the Octomap submap type: the non-blocking
+    boundary (FIFO-queued empty wire submap, reference parity with
+    taichi_octomap.py export_submap -> {}, plus the incremental hit-count
+    splat) must produce the same global occupancy and byte-identical wire
+    traffic as the synchronous path."""
+    from taichislam_tpu.models.octomap import Octomap
+    eye = np.eye(3, dtype=np.float32)
+    ext = (eye, np.zeros(3, np.float32))
+    sent = {True: [], False: []}
+    # min_occupy_thres=0: random test clouds rarely hit a voxel 4 times,
+    # and the fuse only splats over-threshold voxels
+    opts = dict(sub_opts=dict(map_scale=[6.4, 3.2], voxel_scale=0.1,
+                              max_blocks=256, max_submap_num=8,
+                              min_occupy_thres=0,
+                              max_disp_particles=65536),
+                global_opts=dict(map_scale=[12.8, 3.2], voxel_scale=0.1,
+                                 max_blocks=512, max_disp_particles=65536,
+                                 min_occupy_thres=0, is_global_map=True))
+
+    def build(async_):
+        sm = SubmapMapping(Octomap, keyframe_step=2, async_finalize=async_,
+                           **opts)
+        sm.set_dep_camera_intrinsic(K_DEP)
+        sm.map_send_handle = sent[async_].append
+        return sm
+
+    sm_a, sm_s = build(True), build(False)
+    assert sm_a.async_finalize and sm_a.incremental_fuse
+    rng = np.random.default_rng(0)
+    pcls = [rng.uniform(0.4, 1.4, size=(400, 3)).astype(np.float32)
+            for _ in range(6)]
+    for t in range(6):
+        pose = (eye, np.array([0.1 * t, 0, 0], np.float32))
+        for sm in (sm_a, sm_s):
+            sm.recast_pcl_to_map_by_frame(t, True, pose, ext, pcls[t],
+                                          np.zeros((400, 3), np.float32))
+    sm_a.sync()
+    # both globals now hold exactly the two finalized submaps: the async
+    # side via incremental splats, the sync side via reset + refuse-all
+    # at each boundary (the fresh active slot is empty at boundary time)
+    occ_a = np.asarray(sm_a.global_map.state.channels["occupy"])
+    coords_a = np.asarray(sm_a.global_map.state.block_coords)
+    occ_s = np.asarray(sm_s.global_map.state.channels["occupy"])
+    coords_s = np.asarray(sm_s.global_map.state.block_coords)
+
+    def occ_dict(occ, coords, active):
+        act = np.asarray(active)
+        return {tuple(coords[b]): occ[b] for b in range(len(occ) - 1)
+                if act[b] and occ[b].any()}
+
+    da = occ_dict(occ_a, coords_a, sm_a.global_map.state.block_active)
+    ds = occ_dict(occ_s, coords_s, sm_s.global_map.state.block_active)
+    assert da.keys() == ds.keys() and len(da) > 0
+    for k in ds:
+        np.testing.assert_array_equal(da[k], ds[k])
+
+    # wire traffic: byte-identical, FIFO order (2 finalized boundaries)
+    assert len(sent[True]) == len(sent[False]) == 2
+    for ba, bs in zip(sent[True], sent[False]):
+        assert ba == bs
+    subs = _decode_sent_submaps(sent[True])
+    assert [s["frame_id"] for s in subs] == [0, 2]
+
+
 def test_incremental_fuse_matches_full():
     """incremental_fuse=True (splat each finished submap once into the
     non-reset global) must equal the reference's reset + refuse-all at

@@ -63,6 +63,29 @@ class BaseMap:
         self.base_R_np = np.asarray(_R, np.float64)
         self.base_T_np = np.asarray(_T, np.float64)
 
+    # -- frame-keyed ingest shims --------------------------------------------
+    # The node calls the by_frame API on whatever mapping backend it holds
+    # (reference taichislam_node.py:376,392), but the reference implements
+    # it only on SubmapMapping — its non-submap depth/pcl ingest crashes
+    # with AttributeError. These shims apply the camera extrinsic and
+    # forward (a single map has no keyframe/submap lifecycle).
+    def recast_depth_to_map_by_frame(self, frame_id, is_keyframe, pose, ext,
+                                     depthmap, texture):
+        R, T = pose
+        R_ext, T_ext = ext
+        self.recast_depth_to_map(R @ R_ext, T + R @ T_ext, depthmap, texture)
+
+    def recast_pcl_to_map_by_frame(self, frame_id, is_keyframe, pose, ext,
+                                   pcl, rgb_array):
+        R, T = pose
+        R_ext, T_ext = ext
+        Rc, Tc = R @ R_ext, T + R @ T_ext
+        from taichislam_tpu.models.octomap import Octomap
+        if isinstance(self, Octomap):
+            self.recast_pcl_to_map(Rc, Tc, pcl, rgb_array, len(pcl))
+        else:
+            self.recast_pcl_to_map(Rc, Tc, pcl, rgb_array)
+
     # -- submap registry (mapping_common.py:102-131) -------------------------
     def initialize_submap_fields(self, max_submap_num: int):
         self.submap_enabled = True

@@ -26,6 +26,7 @@ from math import nan
 
 import numpy as np
 
+from taichislam_tpu.models.dense_esdf import DenseESDF
 from taichislam_tpu.models.dense_tsdf import DenseTSDF
 from taichislam_tpu.models.octomap import Octomap
 from taichislam_tpu.models.mesher import MarchingCubeMesher
@@ -87,6 +88,9 @@ class TaichiSLAMNodeCore:
             g("Kcolor/fy", 384.2377014160156),
             g("Kcolor/cy", 235.0628204345703), 0.0, 0.0, 1.0])
         self.mapping_type = g("~mapping_type", "tsdf")
+        # esdf type only: publish a jet-colored distance-field z-slice on
+        # /dense_mapping (planner/viz consumers) after each frame
+        self.esdf_publish_slice_z = g("~esdf/publish_slice_z", None)
         self.texture_enabled = g("~texture_enabled", True)
         self.max_mesh = g("~disp/max_mesh", 1000000)
 
@@ -127,6 +131,17 @@ class TaichiSLAMNodeCore:
             "~num_voxel_per_blk_axis", 16)
         return opts
 
+    def get_esdf_opts(self):
+        """mapping_type="esdf" knobs. The reference silently degrades this
+        type to plain TSDF because its DenseSDF bit-rotted
+        (taichislam_node.py:216-218, README roadmap); here the working
+        DenseESDF (per-frame incremental ESDF, ops/esdf.py) is wired in."""
+        g = self.get_param
+        opts = self.get_sdf_opts()
+        opts["max_esdf_sweeps"] = g("~esdf/max_sweeps", 64)
+        opts["esdf_check_interval"] = g("~esdf/check_interval", 1)
+        return opts
+
     def get_submap_opts(self):
         opts = self.get_octo_opts() if self.mapping_type == "octo" \
             else self.get_sdf_opts()
@@ -156,7 +171,10 @@ class TaichiSLAMNodeCore:
             if self.mapping_type == "octo":
                 self.mapping = Octomap(**self.get_octo_opts())
             else:
-                self.mapping = DenseTSDF(**self.get_sdf_opts())
+                if self.mapping_type == "esdf":
+                    self.mapping = DenseESDF(**self.get_esdf_opts())
+                else:
+                    self.mapping = DenseTSDF(**self.get_sdf_opts())
                 if self.enable_mesher:
                     self.mesher = MarchingCubeMesher(
                         self.mapping, self.max_mesh,
@@ -304,6 +322,13 @@ class TaichiSLAMNodeCore:
                                         mapping.export_color[:n],
                                         mapping.enable_texture)
                 t_pubros = (time.time() - start_time) * 1000
+            if self.mapping_type == "esdf" and self.output_map and \
+                    self.esdf_publish_slice_z is not None:
+                mapping.cvt_ESDF_to_voxels_slice(
+                    float(self.esdf_publish_slice_z))
+                n = mapping.num_export_ESDF_particles
+                self.publish_pointcloud(mapping.export_ESDF_xyz[:n],
+                                        mapping.export_color[:n], True)
         if self.enable_rendering and self.render.lock_pos_drone:
             self.render.camera_lookat = T
         return t_mesh, t_export, t_pubros
@@ -334,6 +359,20 @@ class TaichiSLAMNodeCore:
                 self.render.set_particles(mapping.export_TSDF_xyz,
                                           mapping.export_color,
                                           mapping.num_TSDF_particles)
+            if self.mapping_type == "esdf":
+                # distance-field slice view: the reference roadmap item its
+                # bit-rotted DenseSDF never delivered (dense_esdf.py:498-509
+                # cvt_ESDF_to_voxels_slice had no live caller)
+                if getattr(self.render, "enable_slice_z", False):
+                    mapping.cvt_ESDF_to_voxels_slice(self.render.slice_z)
+                    self.render.set_particles(
+                        mapping.export_ESDF_xyz, mapping.export_color,
+                        mapping.num_export_ESDF_particles)
+                else:
+                    mapping.cvt_TSDF_surface_to_voxels()
+                    self.render.set_particles(mapping.export_TSDF_xyz,
+                                              mapping.export_color,
+                                              mapping.num_TSDF_particles)
             if self.mapping_type == "octo":
                 mapping.cvt_occupy_to_voxels(self.disp_level)
                 self.render.set_particles(mapping.export_x,

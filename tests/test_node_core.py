@@ -122,6 +122,46 @@ def test_rendering_slice_view():
     assert np.all(np.abs(core.render.par[:, 2] - 1.0) < 0.1 + 1e-6)
 
 
+def test_esdf_mapping_type_end_to_end():
+    """mapping_type="esdf" runs the working DenseESDF end-to-end — the
+    reference silently degrades this type to plain TSDF because its
+    DenseSDF bit-rotted (taichislam_node.py:216-218): frames recast, the
+    incremental ESDF updates, the slice render path exports distance-field
+    particles, and ~esdf/publish_slice_z publishes the slice cloud."""
+    from taichislam_tpu.models.dense_esdf import DenseESDF
+    published = []
+    core = make_core(
+        extra={"~mapping_type": "esdf", "~enable_mesher": False,
+               "~esdf/publish_slice_z": 1.0},
+        publish_pointcloud=lambda xyz, col, tex: published.append(
+            (np.asarray(xyz), np.asarray(col), tex)),
+        render=TaichiSLAMRender(160, 120))
+    assert isinstance(core.mapping, DenseESDF)
+    for f in range(2):
+        core.stage_depth(fake_frame(f, x=0.05 * f), fake_depth_msg())
+        core.process_taichi()
+    assert core.mapping.count_active() > 0
+    assert np.any(np.asarray(core.mapping.esdf_observed))
+
+    # published slice cloud: output_map + ~esdf/publish_slice_z (surface
+    # cloud + slice cloud per frame)
+    assert len(published) == 4
+    xyz, col, has_rgb = published[-1]
+    assert has_rgb is True and len(xyz) > 0
+    assert np.all(np.abs(xyz[:, 2] - 1.0) < 0.6 + 1e-6)   # dz=0.5 band
+
+    # render slice path: particles cluster at slice_z, colors jet-coded
+    core.render.enable_slice_z = True
+    core.render.slice_z = 1.0
+    core.rendering()
+    assert core.render.par is not None and len(core.render.par) > 0
+    assert np.all(np.abs(core.render.par[:, 2] - 1.0) < 0.6 + 1e-6)
+    # ESDF slice values are finite and inside the max_ray envelope
+    n = core.mapping.num_export_ESDF_particles
+    vals = core.mapping.export_ESDF[:n]
+    assert n > 0 and np.all(np.abs(vals) <= core.mapping.max_ray_length)
+
+
 def test_traj_callback_applies_pgo_poses():
     core = make_core(extra={"~enable_submap": True, "~drone_id": 1,
                             "~keyframe_step": 1,

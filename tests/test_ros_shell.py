@@ -238,6 +238,41 @@ def test_shell_pcl_path_roundtrip(shell):
 
 
 @pytest.mark.slow
+def test_shell_esdf_type_publishes_slice(monkeypatch):
+    """mapping_type=esdf under the fake-ROS shell: the node runs the
+    working DenseESDF end-to-end and publishes the distance-field z-slice
+    on /dense_mapping (rgb-coded) after the surface cloud — the roadmap
+    item the reference's bit-rotted DenseSDF never delivered."""
+    published = []
+    params = dict(PARAMS)
+    params.update({"~enable_submap": False, "~mapping_type": "esdf",
+                   "~esdf/publish_slice_z": 1.0})
+    mods = _make_fake_ros(params, published, lambda tick: None)
+    for name, mod in mods.items():
+        monkeypatch.setitem(sys.modules, name, mod)
+    monkeypatch.delitem(sys.modules, "taichislam_shell", raising=False)
+    spec = importlib.util.spec_from_file_location(
+        "taichislam_shell", "scripts/taichislam_node.py")
+    module = importlib.util.module_from_spec(spec)
+    monkeypatch.setitem(sys.modules, "taichislam_shell", module)
+    spec.loader.exec_module(module)
+
+    node = module.TaichiSLAMNode()
+    from taichislam_tpu.models.dense_esdf import DenseESDF
+    assert isinstance(node.mapping, DenseESDF)
+    # non-submap mode registers process_depth_pose, a no-op with the same
+    # TODO as the reference (taichislam_node.py:275-277) — stage directly
+    node.stage_depth(fake_frame(0), fake_depth_msg(value=1000))
+    node.process_taichi()
+    msgs = [m for t, m in published if t == "/dense_mapping"]
+    assert len(msgs) == 2      # surface cloud + ESDF slice cloud
+    slice_msg = msgs[-1]
+    names = [f.name for f in slice_msg.fields]
+    assert "rgb" in names or ["x", "y", "z"] != names  # rgb-coded slice
+    assert slice_msg.width > 0
+
+
+@pytest.mark.slow
 def test_slam_main_loop(shell):
     """The 100 Hz main loop (reference taichislam_node.py:439-456): frames
     arrive between ticks, process_taichi consumes them, loop exits on

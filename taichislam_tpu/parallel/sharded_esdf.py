@@ -33,10 +33,14 @@ devices) or an exact disjoint partition of the single-device op, so the
 sharded result equals ``ops.esdf.esdf_update``'s XLA-body path bit for
 bit — including sweep counts, re-queue bitmaps, and hysteresis behavior.
 
-The per-sweep Pallas kernel (ops/pallas/esdf_sweep.py) is row-local and
-8-row-slab gated, so it drops into the per-chunk compute unchanged when
-multi-chip TPU hardware is available; the XLA body is used here because
-the only multi-device backend in CI is the virtual CPU mesh.
+The per-sweep Pallas kernel (ops/pallas/esdf_sweep.py) is row-local, so it
+drops into the per-chunk compute unchanged: ``pallas="auto"`` (default)
+engages it on TPU meshes — including a 1-device TPU mesh, where
+tests/test_parallel_tpu.py asserts the composition bit-exact against the
+single-device ``ops.esdf.esdf_update`` — while the virtual CPU mesh in CI
+keeps the XLA body (``pallas="on"`` forces interpreter mode for tiny
+dedicated tests). Both bodies compute bit-identical sweeps
+(tests/test_esdf.py::test_pallas_sweep_matches_xla).
 """
 
 from __future__ import annotations
@@ -71,12 +75,20 @@ def esdf_sharding(mesh: Mesh, axis: str = "block"):
 
 
 def sharded_esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int,
-                        mesh: Mesh, incremental: bool, axis: str = "block"):
+                        mesh: Mesh, incremental: bool, axis: str = "block",
+                        pallas: str = "auto"):
     """Build the jitted collective ESDF update over a slot-sharded map.
 
     Signature (incremental=True):
         fn(state, prev_esdf, prev_fixed, active_submap, dirty_blocks)
     Signature (incremental=False): same without ``dirty_blocks``.
+
+    ``pallas``: "auto" runs each device's chunk sweep through the fused
+    Pallas kernel (ops/pallas/esdf_sweep.py) on TPU backends and the XLA
+    body elsewhere; "on" forces the kernel (interpreter mode off-TPU,
+    tiny tests only); "off" keeps the XLA body. The two bodies are
+    bit-identical (tests/test_esdf.py::test_pallas_sweep_matches_xla), so
+    the flag changes cost, not results.
 
     ``state`` is a slot-sharded GridState (parallel.block_sharded layout);
     ``prev_esdf``/``prev_fixed`` are (max_blocks+1, V^3) arrays sharded on
@@ -110,6 +122,11 @@ def sharded_esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int,
     # contiguous chunk (and of 8, the Pallas slab height, for the drop-in)
     NROWS = -(-(block_cap + 1) // (8 * n)) * (8 * n)
     m = NROWS // n
+    if pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    else:
+        use_pallas = pallas == "on"
+    interp = jax.default_backend() != "tpu"
 
     def _scan_this_sweep(it):
         pred = it < cfg.esdf_scan_sweeps
@@ -229,6 +246,96 @@ def sharded_esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int,
         pos_side_c = chunk(_to_sweep_layout(pos_side, V, False))
         neg_side_c = chunk(_to_sweep_layout(neg_side, V, False))
         fixed_c = chunk(fixed_h)
+
+        def _epilogue(esdf_mine, sweeps):
+            """Shared tail: gather the swept chunks, scatter rows back to
+            this device's shard, build the replicated re-queue bitmap."""
+            esdf_h = jax.lax.all_gather(esdf_mine, axis, axis=0, tiled=True)
+            esdf_c = _from_sweep_layout(esdf_h, V)        # (NROWS, V^3)
+
+            tgt = jnp.where(updatable[:block_cap], slot_of, nb)
+            esdf_rows = jnp.where(participate[:block_cap],
+                                  esdf_c[:block_cap], 0.0)
+            fixed_rows = jnp.where(participate[:block_cap],
+                                   fixed[:block_cap], False).astype(jnp.int8)
+            mine = (tgt >= lo_slot) & (tgt < lo_slot + shard_rows)
+            ltgt = jnp.where(mine, tgt - lo_slot, shard_rows)
+            esdf_out = prev_esdf.at[ltgt].set(esdf_rows, mode="drop")
+            fixed_out = prev_fixed.astype(jnp.int8).at[ltgt].set(
+                fixed_rows, mode="drop")
+
+            diff = (jnp.abs(esdf_c - prev_e) > cfg.esdf_converge_eps) | \
+                (fixed != (prev_f > 0))
+            row_changed = jnp.any(diff, axis=1)
+            changed_blocks = jnp.zeros((nb,), bool).at[tgt].set(
+                row_changed[:block_cap], mode="drop").at[-1].set(False)
+            if incremental:
+                shell = jnp.asarray(_shell_mask_np(V))
+                shell_changed = jnp.any(diff & shell[None, :], axis=1)
+                tgtD = jnp.where(validD, jnp.take(inv, rows_d), block_cap)
+                shell_d = jnp.take(shell_changed,
+                                   jnp.minimum(tgtD, NROWS - 1)) & validD
+                tgt27 = jnp.where(shell_d[None, :], ns_flat, nb - 1)
+                shell_blocks = jnp.zeros(
+                    (nb,), bool).at[tgt27.reshape(-1)].set(
+                    True).at[-1].set(False)
+                cb = (changed_blocks |
+                      (blk & shell_blocks)).at[-1].set(False)
+            else:
+                cb = changed_blocks
+            return (esdf_out, fixed_out, part_l, sweeps, cb, overflow_in)
+
+        if use_pallas:
+            # fused-kernel chunk compute (the drop-in the module docstring
+            # describes): enc channel + interior side mask assembled once,
+            # replicated, then chunk-sliced; each sweep all_gathers the
+            # field, fills halo shells, and runs the kernel on this
+            # device's rows only
+            from taichislam_tpu.ops.pallas.esdf_sweep import (
+                ENC_BIG, esdf_sweep_pallas)
+            enc_hh = _assemble_sweep(
+                _to_sweep_layout(jnp.where(participate, tsdf, ENC_BIG), V,
+                                 ENC_BIG), nslots, V, ENC_BIG)
+            enc_c = chunk(enc_hh)
+            side_c = chunk(_to_sweep_layout(
+                pos_side.astype(jnp.int8) - neg_side.astype(jnp.int8), V,
+                jnp.int8(0)))
+
+            def body(carry):
+                esdf_mine, _, it = carry
+                esdf = jax.lax.all_gather(esdf_mine, axis, axis=0,
+                                          tiled=True)
+                eh_c = chunk(_assemble_sweep(esdf, nslots, V, 0.0))
+
+                def call(ws):
+                    def f(x):
+                        return esdf_sweep_pallas(
+                            x, enc_c, side_c, None, V=V,
+                            v1=float(cfg.voxel_scale), gamma=float(gamma),
+                            eps=float(eps_py), max_ray=float(max_ray),
+                            with_scans=ws, interpret=interp)
+                    return f
+
+                if cfg.esdf_scan_sweeps < 0:
+                    new = call(True)(eh_c)
+                else:
+                    new = jax.lax.cond(_scan_this_sweep(it), call(True),
+                                       call(False), eh_c)
+                ch_local = jnp.any(jnp.abs(new - eh_c) >
+                                   cfg.esdf_converge_eps)
+                changed = jax.lax.psum(ch_local.astype(jnp.int32), axis) > 0
+                if cfg.esdf_force_sweeps:
+                    changed = jnp.bool_(True)
+                return new, changed, it + 1
+
+            def cond(carry):
+                _, changed, it = carry
+                return changed & (it < max_sweeps)
+
+            esdf_mine, _, sweeps = jax.lax.while_loop(
+                cond, body, (chunk(esdf0_h), jnp.bool_(True),
+                             jnp.int32(0)))
+            return _epilogue(esdf_mine, sweeps)
 
         def body(carry):
             esdf_mine, _, it = carry

@@ -64,6 +64,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # cold-cache discipline (the driver runs fresh processes): a persistent
+    # compile cache makes repeat runs on the same host ~free, and the
+    # first-ever run precompiles every known-shape executable CONCURRENTLY
+    # below (the relay compiles overlap ~2x) before the sequential stages
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/taichislam_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from taichislam_tpu.core.config import TSDFConfig
     from taichislam_tpu.models.dense_tsdf import bin_bucket_for
     from taichislam_tpu.ops import esdf as esdf_ops
@@ -210,6 +218,68 @@ def main():
             best = min(best, time.perf_counter() - t0)
         assert int(drp) == 0 and int(ov2) == 0
         return max(best - lat, 1e-9) / n_frames * 1000.0, cfg
+
+    # ---- concurrent precompile of every known-shape executable --------------
+    # The stages below normally confirm the recorded capacities in ONE
+    # compile each; compiling those programs in parallel first (the axon
+    # relay overlaps compiles ~2x) converts the serial ~6-compile chain
+    # into roughly the longest single compile. Identical-HLO closures hit
+    # the persistent cache, so the stage-built executables load from file
+    # in seconds even though they are distinct Python callables. Failures
+    # here are non-fatal: the stages just compile serially as before.
+    note("concurrent precompile")
+    esdf_cfg0 = dataclasses.replace(cfg, esdf_raise_slack_voxels=0.5,
+                                    esdf_converge_eps=2e-3)
+    big_cfg0 = dataclasses.replace(cfg, max_blocks=8192,
+                                   map_scale=(40.0, 10.0))
+
+    def _pc_run(c, cap, budget):
+        def f():
+            st = tsdf_ops.make_tsdf_state(c)
+            make_run(c, cap, budget).lower(st, frames_j, Rs_j,
+                                           Ts_j).compile()
+        return f
+
+    def _pc_mc():
+        from taichislam_tpu.ops import marching_cubes as mc_ops_pc
+        st = tsdf_ops.make_tsdf_state(cfg)
+        thres0 = jnp.float32(cfg.tsdf_surface_thres)
+
+        @jax.jit
+        def f(state, k):
+            def body(i, acc):
+                out = mc_ops_pc.extract_mesh(cfg, 1 << 18, 1, 256, state,
+                                             jnp.int32(0), thres0 + 0.0 * acc,
+                                             block_mask=None)
+                return acc + out["num_triangles"].astype(jnp.float32)
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        f.lower(st, jnp.int32(6)).compile()
+
+    def _pc_build():
+        st = tsdf_ops.make_tsdf_state(cfg)
+
+        @jax.jit
+        def b(state, frames, Rs, Ts):
+            def body(s, inputs):
+                depth, R, T = inputs
+                s, _ = tsdf_ops.integrate_depth(cfg, s, depth, texture,
+                                                R, T, K, K, jnp.int32(0))
+                return s, None
+            s, _ = jax.lax.scan(body, state, (frames, Rs, Ts))
+            return s
+        b.lower(st, frames_j, Rs_j, Ts_j).compile()
+
+    from concurrent.futures import ThreadPoolExecutor
+    tasks = [_pc_run(cfg, None, 6), _pc_run(esdf_cfg0, 256, 3),
+             _pc_run(esdf_cfg0, 256, 32), _pc_run(big_cfg0, None, 6),
+             _pc_mc, _pc_build]
+    try:
+        with ThreadPoolExecutor(len(tasks)) as ex:
+            for r in ex.map(lambda t: t(), tasks):
+                pass
+    except Exception as e:      # pragma: no cover - defensive
+        print(f"[bench] precompile failed (continuing serial): {e!r}",
+              file=sys.stderr)
 
     # ---- size bins on fusion-only ------------------------------------------
     note("sizing fusion-only")

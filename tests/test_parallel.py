@@ -531,3 +531,89 @@ def test_lifecycle_step_matches_host_submap_mapping():
     obs_got = np.asarray(gdev.channels["TSDF_observed"]).sum()
     obs_want = np.asarray(gref.channels["TSDF_observed"]).sum()
     assert obs_got == obs_want
+
+
+@pytest.mark.slow
+def test_sharded_model_matches_single_device():
+    """ShardedDenseTSDF (the user-facing §5.7 model) runs the FULL frame
+    loop — integrate → dirty union → sharded incremental ESDF → surface
+    gather → incremental mesh patch — on an 8-device mesh, bit-exact
+    against the same loop built from single-device ops."""
+    from taichislam_tpu.models.sharded_dense_tsdf import ShardedDenseTSDF
+    from taichislam_tpu.ops import esdf as esdf_ops
+    from taichislam_tpu.ops import marching_cubes as mc_ops
+
+    mesh = make_mesh(8, "block")
+    opts = dict(map_scale=[3.2, 3.2], voxel_scale=0.1,
+                num_voxel_per_blk_axis=8, max_ray_length=1.5,
+                min_ray_length=0.3, max_blocks=63, max_bins=1024,
+                max_submap_num=4)
+    m = ShardedDenseTSDF(mesh=mesh, enable_esdf=True, max_esdf_sweeps=16,
+                         esdf_block_cap=64, surface_block_cap=64,
+                         max_triangles=1 << 14, **opts)
+    m._esdf_cap_bucket = 64
+    Knp = np.asarray(K)
+    m.set_dep_camera_intrinsic(Knp)
+
+    # single-device mirror built from the raw ops (identical policy)
+    cfg = m.cfg
+    nb = cfg.grid.max_blocks + 1
+    V3 = cfg.grid.voxels_per_block
+    ref_state = tsdf_ops.make_tsdf_state(cfg)
+    ref_e = jnp.zeros((nb, V3), jnp.float32)
+    ref_f = jnp.zeros((nb, V3), jnp.int8)
+    ref_pending = jnp.zeros((nb,), bool)
+    ref_dirty_mesh = jnp.zeros((nb,), bool)
+
+    rng = np.random.default_rng(2)
+    eye = np.eye(3, dtype=np.float32)
+    tex = jnp.zeros((1, 1, 3), jnp.uint8)
+    for f in range(3):
+        depth = jnp.asarray(rng.integers(400, 1400, size=(24, 32))
+                            .astype(np.uint16))
+        T = np.asarray([0.1 * f, 0.05 * f, 0.0], np.float32)
+        m.recast_depth_to_map(eye, T, depth)
+
+        ref_state, stats = tsdf_ops.integrate_depth(
+            cfg, ref_state, depth, tex, jnp.asarray(eye), jnp.asarray(T),
+            K, K, jnp.int32(0))
+        dirty = stats["touched_blocks"] | ref_pending
+        ref_e, ref_f, _, ref_sw, ref_changed, _ = esdf_ops.esdf_update(
+            cfg, 16, 64, ref_state, ref_e, ref_f, jnp.int32(0), dirty)
+        ref_pending = ref_changed
+        ref_dirty_mesh = ref_dirty_mesh | stats["touched_blocks"]
+
+        np.testing.assert_array_equal(
+            np.asarray(ref_state.channels["TSDF"]),
+            np.asarray(m.state.channels["TSDF"]))
+        np.testing.assert_array_equal(np.asarray(ref_e), np.asarray(m.esdf))
+        assert int(ref_sw) == m.last_esdf_sweeps
+
+    # surface export off the gathered mini state == single-device export
+    m.cvt_TSDF_surface_to_voxels()
+    x, y, z, color, tsdf_v, nkept = __import__(
+        "taichislam_tpu.ops.exports", fromlist=["x"]).tsdf_surface_export(
+        cfg, m.max_disp_particles, 64, ref_state,
+        jnp.asarray(m.submaps_base_R_np), jnp.asarray(m.submaps_base_T_np),
+        jnp.int32(0))
+    assert m.num_TSDF_particles == int(nkept) > 0
+    ref_xyz = np.stack([np.asarray(x), np.asarray(y), np.asarray(z)], 1)
+    np.testing.assert_array_equal(
+        np.sort(m.export_TSDF_xyz[:m.num_TSDF_particles], axis=0),
+        np.sort(ref_xyz[:int(nkept)], axis=0))
+
+    # incremental mesh patch: triangles == single-device dirty-masked
+    # extraction (same dilation policy)
+    out = m.extract_mesh(incremental=True)
+    dil = mc_ops.dilate_blocks(cfg, ref_state, jnp.int32(0), ref_dirty_mesh)
+    ref_out = mc_ops.extract_mesh(
+        cfg, 1 << 14, 1, 64, ref_state, jnp.int32(0),
+        jnp.float32(cfg.tsdf_surface_thres), block_mask=dil)
+    assert int(out["num_triangles"]) == int(ref_out["num_triangles"]) > 0
+    va = np.asarray(out["vertices"])[:int(out["num_triangles"]) * 3]
+    vb = np.asarray(ref_out["vertices"])[:int(ref_out["num_triangles"]) * 3]
+    np.testing.assert_array_equal(
+        np.sort(va.round(5), axis=0), np.sort(vb.round(5), axis=0))
+    # clean frame: dirty set consumed, next incremental patch is empty
+    out2 = m.extract_mesh(incremental=True)
+    assert int(out2["num_triangles"]) == 0

@@ -120,7 +120,9 @@ def make_lifecycle_states(sub_cfg: TSDFConfig, n_drones: int,
 def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
                                mesh: Mesh, axis: str = "drone",
                                esdf_sweeps: int | None = None,
-                               esdf_block_cap: int = 64):
+                               esdf_block_cap: int = 64,
+                               mesh_triangles: int | None = None,
+                               mesh_block_cap: int = 32):
     """Build the jitted SPMD frame step WITH the submap lifecycle
     in-graph — the device analog of
     ``SubmapMapping.recast_depth_to_map_by_frame`` (submap_mapping.py:
@@ -145,6 +147,16 @@ def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
     ``pending`` so dropped blocks are retried next frame — deterministic
     bounded staleness with no host verdict round-trip. ``esdf_stats``
     packs per-drone (sweeps_run, overflow) for observability.
+
+    With ``mesh_triangles`` set, the SAME dispatch also extracts each
+    drone's per-frame incremental mesh patch (marching cubes restricted to
+    the 26-dilation of this frame's touched blocks — the span-patch
+    working set of models/mesher.py), so every drone gets planner/viz
+    triangle output without a host round-trip (the reference node's
+    per-drone mesh output path, scripts/taichislam_node.py:324). The step
+    then returns ``(life, mesh_out)`` where ``mesh_out`` carries
+    per-drone ``vertices`` (mesh_triangles*3, 3) and ``counts``
+    (num_triangles, surface_blocks_dropped, triangles_dropped).
     """
     S = sub_cfg.max_submap_num
 
@@ -188,17 +200,35 @@ def multi_drone_lifecycle_step(sub_cfg: TSDFConfig, keyframe_step: int,
             out["esdf_stats"] = jnp.stack(
                 [jnp.asarray(sweeps, jnp.int32),
                  jnp.asarray(ovf, jnp.int32)])[None]
-        return out
+        if mesh_triangles is None:
+            return out
+        from taichislam_tpu.ops import marching_cubes as mc_ops
+        dil = mc_ops.dilate_blocks(sub_cfg, st, act1,
+                                   stats["touched_blocks"])
+        m = mc_ops.extract_mesh(
+            sub_cfg, mesh_triangles, 1, mesh_block_cap, st, act1,
+            jnp.float32(sub_cfg.tsdf_surface_thres), block_mask=dil)
+        tris_dropped = jnp.maximum(
+            m["total_triangles"] - m["num_triangles"], 0)
+        mesh_out = dict(
+            vertices=m["vertices"][None],
+            counts=jnp.stack([
+                m["num_triangles"].astype(jnp.int32),
+                m["surface_blocks_dropped"].astype(jnp.int32),
+                tris_dropped.astype(jnp.int32)])[None])
+        return out, mesh_out
 
     sh = P(axis)
     keys = ["state", "active", "fcount", "base_R", "base_T"]
     if esdf_sweeps is not None:
         keys += ["esdf", "fixed", "pending", "esdf_stats"]
     life_spec = {k: sh for k in keys}
+    out_specs = life_spec if mesh_triangles is None else \
+        (life_spec, {"vertices": sh, "counts": sh})
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(life_spec, sh, sh, sh, sh, P()),
-        out_specs=life_spec,
+        out_specs=out_specs,
         check_vma=False)
     return jax.jit(fn)
 

@@ -617,3 +617,67 @@ def test_sharded_model_matches_single_device():
     # clean frame: dirty set consumed, next incremental patch is empty
     out2 = m.extract_mesh(incremental=True)
     assert int(out2["num_triangles"]) == 0
+
+
+@pytest.mark.slow
+def test_lifecycle_mesh_matches_host_mesher():
+    """Per-drone in-graph incremental meshing (multi_drone_lifecycle_step
+    with mesh_triangles set): every drone's per-frame mesh patch —
+    marching cubes on the 26-dilation of its touched blocks — must equal
+    the host mesher mirror bit-exact (the per-device extraction is purely
+    local), giving each drone planner/viz triangles without host
+    round-trips (reference node's per-drone output path,
+    taichislam_node.py:324)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from taichislam_tpu.ops import marching_cubes as mc_ops
+    from taichislam_tpu.parallel.multi_drone import (
+        make_lifecycle_states, multi_drone_lifecycle_step)
+
+    n, F, MT, BCAP = 4, 2, 4096, 32
+    mesh = make_mesh(n, "drone")
+    rng = np.random.default_rng(9)
+    depths = rng.integers(500, 1300, size=(F, n, 24, 32)).astype(np.uint16)
+    Rs = np.broadcast_to(np.eye(3, dtype=np.float32), (F, n, 3, 3)).copy()
+    Ts = np.zeros((F, n, 3), np.float32)
+    for f in range(F):
+        for d in range(n):
+            Ts[f, d] = [0.08 * f, 0.05 * d, 0.0]
+    kf = np.ones((F, n), bool)
+
+    life = make_lifecycle_states(SUB_CFG, n, with_esdf=True)
+    sh = NamedSharding(mesh, P("drone"))
+    life = jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), life)
+    step = multi_drone_lifecycle_step(SUB_CFG, 10, mesh, esdf_sweeps=6,
+                                      esdf_block_cap=64, mesh_triangles=MT,
+                                      mesh_block_cap=BCAP)
+    for f in range(F):
+        life, mesh_out = step(life, jnp.asarray(depths[f]),
+                              jnp.asarray(Rs[f]), jnp.asarray(Ts[f]),
+                              jnp.asarray(kf[f]), K)
+    counts = np.asarray(mesh_out["counts"])
+    assert np.all(counts[:, 0] > 0)    # triangles on every drone
+    assert np.all(counts[:, 1:] == 0)  # no cap drops
+
+    # host mirror per drone: same integrate chain, then the same
+    # dirty-dilated extraction on the LAST frame
+    tex = jnp.zeros((1, 1, 3), jnp.uint8)
+    for d in range(n):
+        st = tsdf_ops.make_tsdf_state(SUB_CFG)
+        bR, bT = Rs[0, d], Ts[0, d]
+        for f in range(F):
+            R_in = jnp.asarray(bR.T @ Rs[f, d])
+            T_in = jnp.asarray(bR.T @ (Ts[f, d] - bT))
+            st, istats = tsdf_ops.integrate_depth(
+                SUB_CFG, st, jnp.asarray(depths[f, d]), tex, R_in, T_in,
+                K, K, jnp.int32(0))
+        dil = mc_ops.dilate_blocks(SUB_CFG, st, jnp.int32(0),
+                                   istats["touched_blocks"])
+        m = mc_ops.extract_mesh(
+            SUB_CFG, MT, 1, BCAP, st, jnp.int32(0),
+            jnp.float32(SUB_CFG.tsdf_surface_thres), block_mask=dil)
+        nt = int(m["num_triangles"])
+        assert counts[d, 0] == nt > 0
+        np.testing.assert_array_equal(
+            np.asarray(mesh_out["vertices"])[d][:nt * 3],
+            np.asarray(m["vertices"])[:nt * 3])

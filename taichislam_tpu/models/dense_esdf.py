@@ -104,10 +104,12 @@ class DenseESDF(DenseTSDF):
         ``_update_bin_bucket``'s documented deferred behavior."""
         import jax.numpy as jnp
         from taichislam_tpu.ops import sequence as seq_ops
-        # device-side expand: inputs may already be device-resident (the
-        # bag replayer stages frames once); np.asarray here would fetch
-        depth1 = jnp.asarray(depthmap)[None]
-        tex1 = (jnp.asarray(texture)[None]
+        # frames ride as 1-tuples: the sequence op stacks IN-GRAPH, so a
+        # device-resident frame (bag replay) costs zero extra dispatches
+        # (np.asarray here would fetch; a host [None] expand would pay a
+        # dispatch round-trip per frame on the relay)
+        depth1 = (jnp.asarray(depthmap),)
+        tex1 = ((jnp.asarray(texture),)
                 if texture is not None and self.enable_texture else None)
         depths, tex, R_j, T_j, K, Kc = self._sequence_inputs(
             [R], [T], depth1, tex1)

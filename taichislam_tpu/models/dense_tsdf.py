@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -163,6 +164,8 @@ class DenseTSDF(BaseMap):
 
     def recast_depth_to_map(self, R, T, depthmap, texture):
         """dense_tsdf.py:162-165."""
+        if getattr(self, "_seq_chain", None):
+            self._settle_sequence()   # per-frame ingest may not interleave
         self.set_pose(R, T)
         texture_arr = texture if self.enable_texture else np.zeros((1, 1, 3),
                                                                    np.uint8)
@@ -204,12 +207,21 @@ class DenseTSDF(BaseMap):
             T_c[f] = T_
         self.input_R, self.input_T = R_c[-1].copy(), T_c[-1].copy()
         if self.enable_texture and textures is not None:
-            tex = jnp.asarray(textures)
+            tex = (tuple(textures) if isinstance(textures, (list, tuple))
+                   and isinstance(textures[0], jax.Array)
+                   else jnp.asarray(textures))
         else:
             tex = jnp.zeros((F, 1, 1, 3), jnp.uint8)
         kc = self.K_cam_color if self.K_cam_color is not None else \
             self.K_cam_dep
-        return (jnp.asarray(depthmaps), tex, jnp.asarray(R_c),
+        # device-resident frame lists stay tuples: the sequence ops stack
+        # them IN-GRAPH, saving a stack dispatch per window on the relay
+        if isinstance(depthmaps, (list, tuple)) and \
+                isinstance(depthmaps[0], jax.Array):
+            depths = tuple(depthmaps)
+        else:
+            depths = jnp.asarray(depthmaps)
+        return (depths, tex, jnp.asarray(R_c),
                 jnp.asarray(T_c), jnp.asarray(self.K_cam_dep),
                 jnp.asarray(kc))
 
@@ -263,10 +275,30 @@ class DenseTSDF(BaseMap):
         ops/sequence.py), amortizing the per-call dispatch cost for bag
         replay. The active submap must not change inside the window —
         ``SubmapMapping.recast_depth_sequence`` splits at keyframes.
+
+        With ``self.sequence_verdict_async = True`` the window's capacity
+        verdict (one packed device->host fetch, a full RPC round-trip on
+        remote-attached devices) moves to a worker thread: the call
+        returns after the dispatch, completed verdicts are drained
+        non-blocking before the next window, and any map reader settles
+        the chain via :meth:`_settle_sequence` (hooked into
+        ``resolve_deferred_fuse``, which every export path calls). On a
+        late-detected capacity miss the pending windows REPLAY in order
+        from their stashed entry states with grown buckets — exact,
+        because window inputs are immutable device arrays and the chain
+        touches only the active submap. Identical end state to the
+        synchronous path; only the blocking point moves.
         """
+        inputs = self._sequence_inputs(Rs, Ts, depthmaps, textures)
+        if getattr(self, "sequence_verdict_async", False):
+            self._recast_window_async(inputs)
+            return
+        self._settle_sequence()
+        self._recast_window_sync(inputs)
+
+    def _recast_window_sync(self, inputs):
         from taichislam_tpu.ops import sequence as seq_ops
-        depths, tex, R_j, T_j, K, Kc = self._sequence_inputs(
-            Rs, Ts, depthmaps, textures)
+        depths, tex, R_j, T_j, K, Kc = inputs
         state0 = self.state
         for _ in range(8):
             state, stats = seq_ops.integrate_depth_sequence(
@@ -277,6 +309,87 @@ class DenseTSDF(BaseMap):
         self.state = state
         self.last_stats = stats
         self._mark_mesh_dirty(stats.get("touched_blocks"))
+
+    # -- async window-verdict chain (sequence_verdict_async) -------------
+    def _seq_exec(self):
+        if getattr(self, "_seq_pool", None) is None:
+            from concurrent.futures import ThreadPoolExecutor
+            self._seq_pool = ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="seq-verdict")
+        return self._seq_pool
+
+    def _recast_window_async(self, inputs):
+        from taichislam_tpu.ops import sequence as seq_ops
+        self._drain_seq_chain(block=False)
+        depths, tex, R_j, T_j, K, Kc = inputs
+        entry = self.state
+        sid = self.active_submap_id
+        state, stats = seq_ops.integrate_depth_sequence(
+            self._sequence_cfg(), entry, depths, tex, R_j, T_j, K, Kc,
+            jnp.int32(sid))
+        self.state = state
+        self.last_stats = stats
+        self._mark_mesh_dirty(stats.get("touched_blocks"))
+        pack = jnp.stack([stats["max_bins_total"], stats["max_dropped"],
+                          stats["max_live_lanes"]])
+        if not getattr(self, "_seq_chain", None):
+            self._seq_chain = []
+        self._seq_chain.append(dict(
+            inputs=inputs, submap_id=sid, entry=entry,
+            bucket=self._bin_bucket,
+            fut=self._seq_exec().submit(np.asarray, pack)))
+
+    def _drain_seq_chain(self, block):
+        """Consume resolved window verdicts (oldest first). ``block=True``
+        waits for all (map readers); ``block=False`` only pops futures
+        already done (per-window housekeeping — never blocks ingest). A
+        miss anywhere replays the whole remaining chain synchronously
+        from its entry state with grown buckets."""
+        chain = getattr(self, "_seq_chain", None)
+        if not chain:
+            return
+        from taichislam_tpu.models.dense_tsdf import bin_bucket_for
+        while chain:
+            fut = chain[0]["fut"]
+            if not block and not fut.done():
+                return
+            pack = fut.result()
+            bins_total, dropped = int(pack[0]), int(pack[1])
+            want = min(bin_bucket_for(bins_total), self.cfg.max_bins)
+            # a window is clean only if nothing dropped AND its dispatch
+            # bucket covered the observed bins (bins_dropped folds into
+            # bins_total, not the dropped counter — same check as the
+            # synchronous _sequence_verdict)
+            if dropped > 0 or want > chain[0]["bucket"]:
+                break
+            self._bin_bucket = want   # same follow-the-load as the sync path
+            chain.pop(0)
+        if not chain:
+            return
+        # late-detected miss: grow from the worst pending window, then
+        # replay the chain in order (entry states stashed per window; the
+        # replay is the exact synchronous grow-and-redo discipline)
+        packs = [np.asarray(c["fut"].result()) for c in chain]
+        worst_bins = max(int(p[0]) for p in packs)
+        print(f"[DenseTSDF] async sequence verdict miss: replaying "
+              f"{len(chain)} window(s) (worst bins {worst_bins})")
+        self._bin_bucket = min(bin_bucket_for(worst_bins),
+                               self.cfg.max_bins)
+        tb = getattr(self, "_touched_bucket", self.cfg.max_touched_blocks)
+        if tb < self.cfg.max_blocks:
+            self._touched_bucket = min(tb * 2, self.cfg.max_blocks)
+        todo, self._seq_chain = list(chain), []
+        self.state = todo[0]["entry"]
+        saved = self.active_submap_id
+        try:
+            for c in todo:
+                self.active_submap_id = c["submap_id"]
+                self._recast_window_sync(c["inputs"])
+        finally:
+            self.active_submap_id = saved
+
+    def _settle_sequence(self):
+        self._drain_seq_chain(block=True)
 
     def cvt_occupy_to_voxels(self):
         self.cvt_TSDF_surface_to_voxels()
@@ -448,6 +561,9 @@ class DenseTSDF(BaseMap):
         return obj
 
     def load_numpy(self, submap_id, indices, tsdf, w_tsdf, occ, color):
+        # a pending async-window replay would reset the grid to a stashed
+        # entry state and erase this load — settle first
+        self._settle_sequence()
         n = len(tsdf)
         cap = exports_ops.pow2_capacity(max(n, 1))
 
@@ -509,6 +625,8 @@ class DenseTSDF(BaseMap):
         host, so source overflow cannot happen). The global-side
         touched-tile cap still grows and redoes on overflow."""
         import dataclasses
+        if hasattr(submaps, "_settle_sequence"):
+            submaps._settle_sequence()   # fusion reads the source grid
         self._pending_fuse = None   # full refuse supersedes a deferred splat
         t = time.time()
         need = int(submaps.state.num_blocks) + 1
@@ -577,6 +695,8 @@ class DenseTSDF(BaseMap):
         finalized submaps are immutable in the collection's grid, so the
         replay re-reads them from the CURRENT collection state."""
         import dataclasses
+        if hasattr(submaps, "_settle_sequence"):
+            submaps._settle_sequence()   # fusion reads the source grid
         if not defer_verdict:
             # a synchronous splat on top of pending deferred ones must
             # land in order — settle the chain first
@@ -651,6 +771,9 @@ class DenseTSDF(BaseMap):
         boundaries in incremental mode, and finished submaps are immutable
         in the collection grid, so the replay is exact)."""
         import dataclasses
+        # async window-verdict chain first: every map reader routes here,
+        # and a pending sequence replay must land before fuses re-read
+        self._settle_sequence()
         pend = self._pending_fuse
         if pend is None:
             return

@@ -165,6 +165,12 @@ class SubmapMapping:
         self.wire_format = wire_format
         self.submap_collection = self.submap_type(**self.sub_opts)
         self.global_map = self.create_globalmap(global_opts)
+        if self.async_finalize and submap_type == DenseTSDF:
+            # windowed bag-replay ingest defers its per-window capacity
+            # verdict to a worker thread too (models/dense_tsdf.py
+            # recast_depth_sequence) — the boundary settle above keeps
+            # wire exactness
+            self.submap_collection.sequence_verdict_async = True
         self.first_init = True
         self.set_exporting_global()
         self.ego_motion_poses = {}
@@ -325,6 +331,12 @@ class SubmapMapping:
         from taichislam_tpu.ops import exports as exports_ops
         col = self.submap_collection
         gm = self.global_map
+        if self.submap_type == DenseTSDF:
+            # pending async window verdicts must land before the finished
+            # submap is snapshotted for the wire (a late replay after the
+            # gather would diverge peers); steady state this is a no-op —
+            # the fetches had the whole window's wall time to finish
+            col._settle_sequence()
         if self.submap_type == Octomap:
             # the octomap wire submap is the reference's empty dict
             # (taichi_octomap.py:204-205) + frame_id/pose — nothing to
@@ -556,12 +568,13 @@ class SubmapMapping:
         run = {"R": [], "T": [], "depth": [], "tex": []}
 
         def _stack(frames):
-            # device-resident frames stay on device (np.stack would fetch
-            # each one through the link and re-upload the stack)
+            # device-resident frames stay on device AND unstacked: the
+            # sequence ops stack tuples IN-GRAPH, so the window costs one
+            # dispatch instead of stack + dispatch (np.stack would fetch
+            # each frame through the link and re-upload the stack)
             import jax
-            import jax.numpy as jnp
             if isinstance(frames[0], jax.Array):
-                return jnp.stack(frames)
+                return tuple(frames)
             return np.stack(frames)
 
         def flush():

@@ -39,7 +39,16 @@ def integrate_depth_sequence(cfg: TSDFConfig, state, depths, textures,
     """Fuse ``depths`` (F, h, w) with per-frame poses (F, 3, 3)/(F, 3) in
     one dispatch. ``textures`` is (F, th, tw, 3) or a (1, 1, 1, 3) dummy
     when texture is disabled. Returns (state, window-stats dict of scalars).
+
+    ``depths``/``textures`` may also be a TUPLE of per-frame arrays: the
+    stack then happens in-graph — callers holding device-resident frames
+    (bag replay) save one dispatch round-trip per window, which is real
+    milliseconds on a remote-attached device.
     """
+    if isinstance(depths, (tuple, list)):
+        depths = jnp.stack(depths)
+    if isinstance(textures, (tuple, list)):
+        textures = jnp.stack(textures)
 
     def body(st, inp):
         depth, tex, R, T = inp
@@ -73,7 +82,13 @@ def integrate_esdf_sequence(cfg: TSDFConfig, esdf_budget: int,
     dirty working set, residual wavefronts re-queued via ``pending`` —
     exactly the per-frame loop of ``DenseESDF.update_esdf`` in its
     incremental mode, chained device-side. Returns
-    (state, esdf, fixed, pending, seen_tsdf, seen_obs, stats)."""
+    (state, esdf, fixed, pending, seen_tsdf, seen_obs, stats).
+    ``depths``/``textures`` may be tuples of per-frame arrays (stacked
+    in-graph, see :func:`integrate_depth_sequence`)."""
+    if isinstance(depths, (tuple, list)):
+        depths = jnp.stack(depths)
+    if isinstance(textures, (tuple, list)):
+        textures = jnp.stack(textures)
 
     def body(carry, inp):
         st, es, fx, pend, s_t, s_o = carry

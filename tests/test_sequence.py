@@ -122,3 +122,38 @@ def test_submap_sequence_matches_per_frame():
     assert ds.keys() == dr.keys()
     for k in dr:
         np.testing.assert_allclose(ds[k], dr[k], atol=1e-5)
+
+
+def test_async_window_verdict_matches_sync():
+    """sequence_verdict_async: windows dispatch with the capacity verdict
+    on a worker thread; an undersized starting bucket forces the
+    late-detected miss -> whole-chain replay path. End state must equal
+    the synchronous windowed path, and map readers must settle the chain
+    transparently."""
+    import jax.numpy as jnp
+    Rs, Ts, depths = _frames(4)
+    depths_dev = jnp.asarray(depths)   # device-resident (tuple fast path)
+
+    m_async = make_map()
+    m_async.sequence_verdict_async = True
+    m_async._bin_bucket = 128          # forces a miss detected late
+    m_async.recast_depth_sequence(Rs[:2], Ts[:2],
+                                  [depths_dev[0], depths_dev[1]])
+    m_async.recast_depth_sequence(Rs[2:], Ts[2:],
+                                  [depths_dev[2], depths_dev[3]])
+
+    m_ref = make_map()
+    m_ref.recast_depth_sequence(Rs, Ts, depths)
+
+    # count_active routes through resolve_deferred_fuse -> settle
+    assert m_async.count_active() == m_ref.count_active()
+    assert not m_async._seq_chain
+    idx_s, tsdf_s, w_s, occ_s, _ = m_async.to_numpy()
+    idx_r, tsdf_r, w_r, occ_r, _ = m_ref.to_numpy()
+    ds = {tuple(i): (t, w, o) for i, t, w, o in
+          zip(idx_s, tsdf_s, w_s, occ_s)}
+    dr = {tuple(i): (t, w, o) for i, t, w, o in
+          zip(idx_r, tsdf_r, w_r, occ_r)}
+    assert ds.keys() == dr.keys()
+    for k in dr:
+        np.testing.assert_allclose(ds[k], dr[k], atol=1e-5)

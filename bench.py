@@ -143,9 +143,12 @@ def main():
                 dirty, seen_t, seen_o = esdf_ops.esdf_seed_dirty(
                     cfg, state, seen_t, seen_o, stats["touched_blocks"])
                 dirty = dirty | pending
+                # consume-once snapshot seeds (ops/esdf.py esdf_update):
+                # re-queued blocks sweep on the seeds they were gated
+                # with, so sub-gate jitter cannot churn the field
                 esdf, fixed, _, _, pending, ov = esdf_ops.esdf_update(
                     cfg, budget, esdf_cap, state, esdf, fixed,
-                    jnp.int32(0), dirty)
+                    jnp.int32(0), dirty, tsdf_src=seen_t, obs_src=seen_o)
             else:
                 ov = jnp.int32(0)
             drop_fuse = (stats["alloc_overflow"] + stats["touched_dropped"]

@@ -340,6 +340,14 @@ class DenseESDF(DenseTSDF):
             self._esdf_host_refresh()
         dims = self._esdf_dims_cached
 
+        # consume-once snapshot seeds when gating is active (see
+        # ops/esdf.py esdf_update): re-queued blocks sweep on the seeds
+        # they were gated with, so sub-gate jitter cannot churn the field
+        snap = {}
+        if dirty is not None and self.cfg.esdf_seed_eps_voxels >= 0:
+            snap = dict(tsdf_src=self._esdf_seen_tsdf,
+                        obs_src=self._esdf_seen_obs)
+
         spans = jnp.zeros((3,), jnp.int32)
         if dirty is not None and self._esdf_win_ok and \
                 self.esdf_dense_max_voxels:
@@ -354,7 +362,8 @@ class DenseESDF(DenseTSDF):
              changed, overflow) = esdf_ops.esdf_update_dense(
                 self.cfg, self.max_esdf_sweeps, wdims, self.state,
                 self.esdf, self.esdf_fixed,
-                jnp.int32(self.active_submap_id), dirty_blocks=dirty)
+                jnp.int32(self.active_submap_id), dirty_blocks=dirty,
+                **snap)
             c4 = self.state.block_coords
             anchor = (dirty & self.state.block_active &
                       (c4[:, 0] == jnp.int32(self.active_submap_id)))
@@ -390,7 +399,7 @@ class DenseESDF(DenseTSDF):
              changed, overflow) = esdf_ops.esdf_update(
                 self.cfg, self.max_esdf_sweeps, cap, self.state,
                 self.esdf, self.esdf_fixed,
-                jnp.int32(self.active_submap_id), dirty)
+                jnp.int32(self.active_submap_id), dirty, **snap)
         self._esdf_pending = changed
         pack = jnp.concatenate([jnp.stack([
             jnp.asarray(sweeps, jnp.int32),

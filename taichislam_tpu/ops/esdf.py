@@ -536,8 +536,23 @@ def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
 @partial(jax.jit, static_argnums=(0, 1, 2, 8))
 def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                 prev_esdf, prev_fixed, active_submap, dirty_blocks=None,
-                _ablate: str = ""):
+                _ablate: str = "", tsdf_src=None, obs_src=None):
     """Compute the ESDF over the active submap's observed voxels.
+
+    ``tsdf_src``/``obs_src`` (optional (max_blocks+1, V^3) arrays) replace
+    the live TSDF/observed channels as the seed source — the
+    consume-once snapshot mode: voxblox's ESDF reads TSDF values at
+    updated-flag events and is then insensitive to sub-``min_diff_m``
+    drift (esdf_integrator.cc); passing ``esdf_seed_dirty``'s refreshed
+    ``seen_tsdf``/``seen_obs`` snapshots reproduces that. Without it,
+    every re-queued block re-derives seeds from the LIVE TSDF, so
+    sub-gate sensor jitter (mm per frame) re-enters through every visit
+    and the re-queue cascade never settles — measured on the bench orbit:
+    ~100 re-queued blocks and 20-25 drained sweeps EVERY frame, vs the
+    gated-region-only work this mode restores. The ESDF then lags the
+    live TSDF by at most the seed gate (``esdf_seed_eps_voxels``, default
+    0.25 voxels = 12.5 mm at 5 cm — 4x tighter than voxblox's 5 cm
+    default gate).
 
     The sweep runs on a **compacted participating-block working set**
     (static ``block_cap``): tiles are slice-gathered into (cap+1, V, V, V)
@@ -576,8 +591,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     v2 = jnp.float32(np.sqrt(2.0) * cfg.voxel_scale)
     v3 = jnp.float32(np.sqrt(3.0) * cfg.voxel_scale)
 
-    tsdf_full = state.channels["TSDF"].astype(jnp.float32)
-    obs_full = state.channels["TSDF_observed"] > 0
+    tsdf_full = (state.channels["TSDF"] if tsdf_src is None
+                 else tsdf_src).astype(jnp.float32)
+    obs_full = (state.channels["TSDF_observed"] > 0 if obs_src is None
+                else obs_src)
     blk = state.block_active & (state.block_coords[:, 0] == active_submap)
     blk = blk.at[-1].set(False)
     participate_full = obs_full & blk[:, None]
@@ -1098,8 +1115,9 @@ def _dense_scan_candidates(h, brk, v1, big):
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
                       prev_esdf, prev_fixed, active_submap,
-                      dirty_blocks=None):
-    """Dense-window variant of :func:`esdf_update` (same returns).
+                      dirty_blocks=None, tsdf_src=None, obs_src=None):
+    """Dense-window variant of :func:`esdf_update` (same returns; same
+    optional consume-once snapshot seed source).
 
     ``dims_blocks`` is the static (DBX, DBY, DBZ) window size in blocks; the
     window origin is the dynamic minimum of the participating blocks'
@@ -1180,9 +1198,12 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
         return jnp.take(jnp.concatenate([rows, pad], axis=0),
                         jnp.minimum(dlin, NBD), axis=0)
 
-    tsdf = to_dense(state.channels["TSDF"].astype(jnp.float32), 0.0)
-    obs = to_dense((state.channels["TSDF_observed"] > 0) &
-                   in_win[:, None], False)
+    tsdf_full_src = (state.channels["TSDF"] if tsdf_src is None
+                     else tsdf_src).astype(jnp.float32)
+    obs_full_src = (state.channels["TSDF_observed"] > 0 if obs_src is None
+                    else obs_src)
+    tsdf = to_dense(tsdf_full_src, 0.0)
+    obs = to_dense(obs_full_src & in_win[:, None], False)
     prev_e = to_dense(prev_esdf, 0.0)
     prev_f = to_dense(prev_fixed, jnp.int8(0))
 
@@ -1244,7 +1265,7 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
     fixed_rows = from_dense(fixed.astype(jnp.int8))
     part_rows = from_dense(participate)
 
-    participate_full = (state.channels["TSDF_observed"] > 0) & blk[:, None]
+    participate_full = obs_full_src & blk[:, None]
     keep = in_win[:, None] & part_rows
     if dirty_blocks is not None:
         keep &= anchor[:, None]        # frozen rim rows pass through

@@ -98,9 +98,12 @@ def integrate_esdf_sequence(cfg: TSDFConfig, esdf_budget: int,
         dirty, s_t, s_o = esdf_ops.esdf_seed_dirty(
             cfg, st, s_t, s_o, stats["touched_blocks"])
         dirty = dirty | pend
+        # consume-once snapshot seeds (see esdf_update): re-queued blocks
+        # whose gate never re-fired sweep on IDENTICAL seeds and converge
+        # instantly, so sub-gate sensor jitter cannot churn the field
         es, fx, _, _, pend, ov = esdf_ops.esdf_update(
             cfg, esdf_budget, esdf_block_cap, st, es, fx, active_submap,
-            dirty)
+            dirty, tsdf_src=s_t, obs_src=s_o)
         drop = (stats["alloc_overflow"] + stats["touched_dropped"] +
                 stats["lanes_dropped"])
         return (st, es, fx, pend, s_t, s_o), (

@@ -61,7 +61,8 @@ def main():
                 cfg, state, seen_t, seen_o, stats["touched_blocks"])
             dirty = dirty | pending
             esdf, fixed, _, sweeps, pending, ov = esdf_ops.esdf_update(
-                cfg, budget, 256, state, esdf, fixed, jnp.int32(0), dirty)
+                cfg, budget, 256, state, esdf, fixed, jnp.int32(0), dirty,
+                tsdf_src=seen_t, obs_src=seen_o)
             return (state, esdf, fixed, pending, seen_t, seen_o), \
                 (ov, sweeps)
 

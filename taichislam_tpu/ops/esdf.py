@@ -84,6 +84,10 @@ from taichislam_tpu.core.geometry import sign
 
 BIG = jnp.float32(1e9)
 
+# debug-only (tools harnesses): set to a list to collect the loop kernel's
+# per-call counter stats during TRACING (one entry per traced call)
+_LOOP_STATS_HOOK = None
+
 
 # ---------------------------------------------------------------------------
 # halo machinery
@@ -926,6 +930,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
             scan_sweeps=int(ss), scan_period=int(cfg.esdf_scan_period),
             interpret=jax.default_backend() != "tpu")
         sweeps = lstats[0]
+        # debug hook (tools/exp_* cost-model harnesses): the kernel's
+        # [sweeps, changed_at_exit, computed_slabs, shell_rows] counters
+        _LOOP_STATS_HOOK.append(lstats) if _LOOP_STATS_HOOK is not None \
+            else None
     elif max_sweeps <= 4:
         # unrolled: a while op costs ~0.2 ms/frame in carry staging alone
         # at this size; for small budgets run the sweeps straight-line.

@@ -168,7 +168,12 @@ def _sweep_math(h, enc, side_f, *, W: int, v1: float, gamma: float,
 
         def scans(x, brk01):
             """Multi-hop axis-path min-plus candidates of x, self-excluded
-            (matches ops/esdf.py _scan_candidates_fused)."""
+            (matches ops/esdf.py _scan_candidates_fused). Measured
+            negative result (round 5): extending these to all 13 chamfer
+            direction classes (plane/space diagonals) left the drained
+            sweep count unchanged (1116 -> 1111 on the bench orbit) and
+            cost ~3 ms/frame — drained convergence is not staircase-run
+            limited."""
             out = jnp.full_like(x, bigf)
             k_pos = k_id.astype(jnp.float32)
             i_pos = i_id.astype(jnp.float32)
@@ -230,76 +235,79 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
                  out_any, stats_ref, fld, encb, sems, st, slabchg, acts,
                  shellact, *, W: int, R: int, NSLAB: int, v1: float,
                  gamma: float, eps: float, eps_conv: float, max_ray: float,
-                 scan_sweeps: int, scan_period: int):
-    """Grid (S, 4, NSLAB): phases 0/1/2 = i/j/k halo-shell passes (the same
-    axis-sequential exchange as ops/esdf.py _assemble_sweep, so diagonals
-    arrive through face reads of earlier-phase shells), phase 3 = the sweep
-    body per 8-row slab. The field lives in VMEM scratch ``fld`` for the
-    whole call; ``enc`` streams per-slab from HBM through a double buffer.
-    Convergence: a sweep with no voxel moving more than ``eps_conv`` sets
-    the quiet flag and every later step passes through (exact while-loop
-    semantics at a fixed grid size)."""
-    s = pl.program_id(0)
-    p = pl.program_id(1)
-    n = pl.program_id(2)
-    S = pl.num_programs(0)
+                 max_sweeps: int, scan_sweeps: int, scan_period: int):
+    """Single-invocation kernel (no grid): the sweep loop is an in-kernel
+    ``lax.while_loop`` over [3 halo-shell passes, per-slab compute], so
+    convergence is a REAL early exit. The previous formulation iterated a
+    fixed (max_sweeps, 4, NSLAB) grid — measured on the v5e, the per-step
+    grid overhead (~0.7 us x 132 steps/sweep) dominated the gated drained
+    sweeps, and the quiet post-convergence sweeps of a 32-budget still
+    paid ~4200 empty grid steps (~2.7 ms/frame of nothing). Here a quiet
+    field costs zero and a gated sweep costs only its active slabs'
+    shells + compute.
+
+    Shell passes run axis-sequential (i -> j -> k, the same exchange as
+    ops/esdf.py _assemble_sweep, so diagonals arrive through face reads
+    of earlier-phase shells) as ``fori_loop``s over rows; the field lives
+    in VMEM scratch ``fld`` for the whole call; ``enc`` streams per
+    active slab from HBM (synchronous copy, ~3 us per 300 kB slab).
+    Convergence: a sweep with no voxel moving more than ``eps_conv``
+    exits the while loop."""
     V = W - 2
     L = W * W
+    N = NSLAB * R
+    Wp, Lp = fld.shape[1], fld.shape[2]
 
-    # st: [quiet, changed_this_sweep, sweeps_run]
-    @pl.when((s == 0) & (p == 0) & (n == 0))
-    def _init():
-        st[0] = 0
-        st[1] = 0
-        st[2] = 0
-        for m in range(NSLAB):
-            acts[m] = 1
-            shellact[m] = 1
-            slabchg[m] = 0
-        cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
-        cp.start()
-        cp.wait()
+    # st: [quiet, changed_this_sweep, sweeps_run, comp_slabs, shell_rows]
+    st[0] = 0
+    st[1] = 0
+    st[2] = 0
+    st[3] = 0
+    st[4] = 0
+    for m in range(NSLAB):
+        acts[m] = 1
+        shellact[m] = 1
+        slabchg[m] = 0
+    cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
+    cp.start()
+    cp.wait()
 
-    active = st[0] == 0
-    g0 = n * R
-    # halo-shell passes are gated one 27-hop WIDER than compute (shellact):
-    # a computed row's diagonal halo values travel through its neighbor
-    # rows' shells across the three axis-sequential phases, so every row
-    # in the 27-neighborhood of an active slab must refresh its shells;
-    # rows farther out keep stale shells that nothing reads until their
-    # neighborhood reactivates — at which point this gate refreshes them
-    # before compute. Interiors are always current (written on change).
-    shell_on = active & (shellact[n] != 0)
-
-    @pl.when(shell_on & (p == 0))
-    def _shells_i():
-        for r in range(R):
-            g = g0 + r
+    # halo-shell passes are gated one 27-hop WIDER than compute
+    # (shellact): a computed row's diagonal halo values travel through
+    # its neighbor rows' shells across the three axis-sequential passes,
+    # so every row in the 27-neighborhood of an active slab must refresh
+    # its shells; rows farther out keep stale shells that nothing reads
+    # until their neighborhood reactivates — at which point this gate
+    # refreshes them before compute. Interiors are always current.
+    def _shells_i(g, c):
+        @pl.when(shellact[g // R] != 0)
+        def _():
+            st[4] = st[4] + 1
             im = nsl_ref[0, g]
             fld[pl.ds(g, 1), :, 0:W] = fld[pl.ds(im, 1), :,
                                            V * W:(V + 1) * W]
             ip = nsl_ref[1, g]
             fld[pl.ds(g, 1), :, (V + 1) * W:(V + 2) * W] = \
                 fld[pl.ds(ip, 1), :, W:2 * W]
+        return c
 
-    @pl.when(shell_on & (p == 1))
-    def _shells_j():
-        for r in range(R):
-            g = g0 + r
+    def _shells_j(g, c):
+        @pl.when(shellact[g // R] != 0)
+        def _():
             jm = nsl_ref[2, g]
             fld[pl.ds(g, 1), 0:1, :] = fld[pl.ds(jm, 1), V:V + 1, :]
             jp = nsl_ref[3, g]
             fld[pl.ds(g, 1), V + 1:V + 2, :] = fld[pl.ds(jp, 1), 1:2, :]
+        return c
 
-    @pl.when(shell_on & (p == 2))
-    def _shells_k():
-        Wp, Lp = fld.shape[1], fld.shape[2]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, Lp), 2)
-        k_id = lane % W
-        m0 = k_id == 0
-        m1 = (k_id == W - 1) & (lane < L)
-        for r in range(R):
-            g = g0 + r
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, Wp, Lp), 2)
+    k_id1 = lane1 % W
+    mk0 = k_id1 == 0
+    mk1 = (k_id1 == W - 1) & (lane1 < L)
+
+    def _shells_k(g, c):
+        @pl.when(shellact[g // R] != 0)
+        def _():
             km = nsl_ref[4, g]
             rkm = fld[pl.ds(km, 1)]
             cur = fld[pl.ds(g, 1)]
@@ -307,130 +315,129 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
             sh = jnp.concatenate(
                 [rkm[..., V:], jnp.zeros((1, Wp, V), jnp.float32)],
                 axis=-1)
-            cur = jnp.where(m0, sh, cur)
+            cur = jnp.where(mk0, sh, cur)
             kp = nsl_ref[5, g]
             rkp = fld[pl.ds(kp, 1)]
             sh = jnp.concatenate(
                 [jnp.zeros((1, Wp, V), jnp.float32), rkp[..., :Lp - V]],
                 axis=-1)
-            cur = jnp.where(m1, sh, cur)
+            cur = jnp.where(mk1, sh, cur)
             fld[pl.ds(g, 1)] = cur
+        return c
 
-    # prefetch the first slab's enc for this sweep's compute phase —
-    # outside the shell gate: it must fire even when the last slab's
-    # shells are skipped
-    @pl.when(active & (p == 2) & (n == NSLAB - 1))
-    def _pf0():
-        cp = pltpu.make_async_copy(enc_any.at[pl.ds(0, R)],
-                                   encb.at[pl.ds(0, R)], sems.at[0])
-        cp.start()
-
-    @pl.when(active & (p == 3))
-    def _compute():
-        buf = (n % 2) * R
-        pltpu.make_async_copy(enc_any.at[pl.ds(n * R, R)],
-                              encb.at[pl.ds(buf, R)],
-                              sems.at[n % 2]).wait()
-
-        @pl.when(n + 1 < NSLAB)
-        def _pf_next():
-            nb = ((n + 1) % 2) * R
-            cp = pltpu.make_async_copy(enc_any.at[pl.ds((n + 1) * R, R)],
-                                       encb.at[pl.ds(nb, R)],
-                                       sems.at[(n + 1) % 2])
-            cp.start()
-
-        pred = s < scan_sweeps
-        if scan_period > 0:
-            pred |= s % scan_period == 0
-
-        # the sweep math holds ~40 live (rows, Wp, Lp) temporaries in
-        # Mosaic's VMEM stack (the scan chains); at 8 rows that stack
-        # plus the resident field overflows VMEM, so compute runs in
-        # row CHUNKS — exact, since every sweep-math op acts within a
-        # row (i/k = lane shifts, j = sublane shifts; nothing crosses
-        # the leading dim)
-        RC = 2
-
-        def run(with_scans):
-            def f():
-                for c in range(0, R, RC):
-                    h = fld[pl.ds(g0 + c, RC)]
-                    enc = encb[pl.ds(buf + c, RC)]
-                    # interior update-side mask derived on-chip: ±1 on
-                    # observed, non-fixed interior voxels of updatable
-                    # rows (sign = TSDF side) — replaces the separate
-                    # side channel of the single-sweep kernel
-                    lane = jax.lax.broadcasted_iota(jnp.int32, h.shape, 2)
-                    sub = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
-                    row = jax.lax.broadcasted_iota(jnp.int32, h.shape, 0)
-                    k_id = lane % W
-                    i_id = lane // W
-                    inter = jnp.where(
-                        (lane < L) & (i_id >= 1) & (i_id <= V) &
-                        (sub >= 1) & (sub <= V) & (k_id >= 1) &
-                        (k_id <= V), 1.0, 0.0)
-                    updm = jnp.zeros(h.shape, jnp.float32)
-                    for r in range(RC):
-                        updm += jnp.where(
-                            (row == r) & (upd_ref[g0 + c + r] > 0), 1.0,
-                            0.0)
-                    obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5),
-                                      1.0, 0.0)
-                    tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
-                    fixed_f = jnp.where(jnp.abs(tsdf) < jnp.float32(gamma),
-                                        obs_f, 0.0)
-                    sgn = jnp.where(tsdf >= 0.0, 1.0, -1.0)
-                    side_f = sgn * obs_f * (1.0 - fixed_f) * inter * updm
-                    new = _sweep_math(h, enc, side_f, W=W, v1=v1,
-                                      gamma=gamma, eps=eps,
-                                      max_ray=max_ray,
-                                      with_scans=with_scans)
-                    fld[pl.ds(g0 + c, RC)] = new
-                    chg = jnp.any(jnp.abs(new - h) >
-                                  jnp.float32(eps_conv))
-                    @pl.when(chg)
-                    def _mark():
-                        st[1] = 1
-                        slabchg[n] = 1
-            return f
+    def _compute_slab(n, s):
         # per-slab activity gate (same wavefront the orchestrated path's
         # slab_act gives): a slab recomputes only while a slab holding
         # some row of its updatable rows' 26-neighborhoods changed last
         # sweep. Skipping is exact — unchanged inputs recompute to the
         # same values. adj is precomputed outside (see caller).
-        slab_on = acts[n] != 0
-        pl.when(pred & slab_on)(run(True))
-        pl.when(jnp.logical_not(pred) & slab_on)(run(False))
+        @pl.when(acts[n] != 0)
+        def _():
+            st[3] = st[3] + 1
+            g0 = n * R
+            cp = pltpu.make_async_copy(enc_any.at[pl.ds(g0, R)],
+                                       encb.at[pl.ds(0, R)], sems.at[0])
+            cp.start()
+            cp.wait()
+            pred = s < scan_sweeps
+            if scan_period > 0:
+                pred |= s % scan_period == 0
 
-        @pl.when(n == NSLAB - 1)
-        def _sweep_end():
-            st[2] = st[2] + 1
-            st[0] = jnp.where(st[1] == 0, 1, 0)
-            st[1] = 0
-            for m in range(NSLAB):
-                acc = slabchg[0] * adj_ref[m * NSLAB]
-                for m2 in range(1, NSLAB):
-                    acc = acc | (slabchg[m2] * adj_ref[m * NSLAB + m2])
-                acts[m] = acc
-            # shellact = acts dilated by the full-row slab adjacency:
-            # adjs[m2, m] = 1 iff slab m2 has a row whose 27-neighborhood
-            # reaches slab m — those rows' shells feed m2's compute
-            for m in range(NSLAB):
-                acc = acts[0] * adjs_ref[m]
-                for m2 in range(1, NSLAB):
-                    acc = acc | (acts[m2] * adjs_ref[m2 * NSLAB + m])
-                shellact[m] = acc
-            for m in range(NSLAB):
-                slabchg[m] = 0
+            # the sweep math holds ~40 live (rows, Wp, Lp) temporaries in
+            # Mosaic's VMEM stack (the scan chains); at 8 rows that stack
+            # plus the resident field overflows VMEM, so compute runs in
+            # row CHUNKS — exact, since every sweep-math op acts within a
+            # row (i/k = lane shifts, j = sublane shifts; nothing crosses
+            # the leading dim)
+            RC = 2
 
-    @pl.when((s == S - 1) & (p == 3) & (n == NSLAB - 1))
-    def _finish():
-        cp = pltpu.make_async_copy(fld, out_any, sems.at[2])
-        cp.start()
-        cp.wait()
-        stats_ref[0] = st[2]
-        stats_ref[1] = 1 - st[0]
+            def run(with_scans):
+                def f():
+                    for c in range(0, R, RC):
+                        h = fld[pl.ds(g0 + c, RC)]
+                        enc = encb[pl.ds(c, RC)]
+                        # interior update-side mask derived on-chip: ±1
+                        # on observed, non-fixed interior voxels of
+                        # updatable rows (sign = TSDF side)
+                        lane = jax.lax.broadcasted_iota(jnp.int32,
+                                                        h.shape, 2)
+                        sub = jax.lax.broadcasted_iota(jnp.int32,
+                                                       h.shape, 1)
+                        row = jax.lax.broadcasted_iota(jnp.int32,
+                                                       h.shape, 0)
+                        k_id = lane % W
+                        i_id = lane // W
+                        inter = jnp.where(
+                            (lane < L) & (i_id >= 1) & (i_id <= V) &
+                            (sub >= 1) & (sub <= V) & (k_id >= 1) &
+                            (k_id <= V), 1.0, 0.0)
+                        updm = jnp.zeros(h.shape, jnp.float32)
+                        for r in range(RC):
+                            updm += jnp.where(
+                                (row == r) & (upd_ref[g0 + c + r] > 0),
+                                1.0, 0.0)
+                        obs_f = jnp.where(enc < jnp.float32(ENC_BIG * 0.5),
+                                          1.0, 0.0)
+                        tsdf = jnp.where(obs_f > 0.5, enc, 0.0)
+                        fixed_f = jnp.where(
+                            jnp.abs(tsdf) < jnp.float32(gamma), obs_f, 0.0)
+                        sgn = jnp.where(tsdf >= 0.0, 1.0, -1.0)
+                        side_f = sgn * obs_f * (1.0 - fixed_f) * inter \
+                            * updm
+                        new = _sweep_math(h, enc, side_f, W=W, v1=v1,
+                                          gamma=gamma, eps=eps,
+                                          max_ray=max_ray,
+                                          with_scans=with_scans)
+                        fld[pl.ds(g0 + c, RC)] = new
+                        chg = jnp.any(jnp.abs(new - h) >
+                                      jnp.float32(eps_conv))
+
+                        @pl.when(chg)
+                        def _mark():
+                            st[1] = 1
+                            slabchg[n] = 1
+                return f
+            pl.when(pred)(run(True))
+            pl.when(jnp.logical_not(pred))(run(False))
+        return s
+
+    def _cond(s):
+        return (st[0] == 0) & (s < max_sweeps)
+
+    def _body(s):
+        jax.lax.fori_loop(0, N, _shells_i, 0)
+        jax.lax.fori_loop(0, N, _shells_j, 0)
+        jax.lax.fori_loop(0, N, _shells_k, 0)
+        jax.lax.fori_loop(0, NSLAB, _compute_slab, s)
+        st[2] = st[2] + 1
+        st[0] = jnp.where(st[1] == 0, 1, 0)
+        st[1] = 0
+        for m in range(NSLAB):
+            acc = slabchg[0] * adj_ref[m * NSLAB]
+            for m2 in range(1, NSLAB):
+                acc = acc | (slabchg[m2] * adj_ref[m * NSLAB + m2])
+            acts[m] = acc
+        # shellact = acts dilated by the full-row slab adjacency:
+        # adjs[m2, m] = 1 iff slab m2 has a row whose 27-neighborhood
+        # reaches slab m — those rows' shells feed m2's compute
+        for m in range(NSLAB):
+            acc = acts[0] * adjs_ref[m]
+            for m2 in range(1, NSLAB):
+                acc = acc | (acts[m2] * adjs_ref[m2 * NSLAB + m])
+            shellact[m] = acc
+        for m in range(NSLAB):
+            slabchg[m] = 0
+        return s + 1
+
+    jax.lax.while_loop(_cond, _body, jnp.int32(0))
+
+    cp = pltpu.make_async_copy(fld, out_any, sems.at[2])
+    cp.start()
+    cp.wait()
+    stats_ref[0] = st[2]
+    stats_ref[1] = 1 - st[0]
+    stats_ref[2] = st[3]
+    stats_ref[3] = st[4]
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -490,15 +497,13 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
     pad = ((0, 0), (0, Wp - W), (0, Lp - W * W))
     esdf_p = jnp.pad(esdf_h, pad)
     enc_p = jnp.pad(enc_hh, pad, constant_values=ENC_BIG)
-    grid = (max_sweeps, 4, NSLAB)
     kern = functools.partial(
         _loop_kernel, W=W, R=R, NSLAB=NSLAB, v1=float(v1),
         gamma=float(gamma), eps=float(eps), eps_conv=float(eps_conv),
-        max_ray=float(max_ray), scan_sweeps=int(scan_sweeps),
-        scan_period=int(scan_period))
+        max_ray=float(max_ray), max_sweeps=int(max_sweeps),
+        scan_sweeps=int(scan_sweeps), scan_period=int(scan_period))
     out, stats = pl.pallas_call(
         kern,
-        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -508,12 +513,12 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_shape=[jax.ShapeDtypeStruct(esdf_p.shape, jnp.float32),
-                   jax.ShapeDtypeStruct((2,), jnp.int32)],
+                   jax.ShapeDtypeStruct((4,), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((N, Wp, Lp), jnp.float32),      # fld
-            pltpu.VMEM((2 * R, Wp, Lp), jnp.float32),  # enc double buffer
+            pltpu.VMEM((R, Wp, Lp), jnp.float32),      # enc slab buffer
             pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM((5,), jnp.int32),
             pltpu.SMEM((NSLAB,), jnp.int32),           # slabchg
             pltpu.SMEM((NSLAB,), jnp.int32),           # acts
             pltpu.SMEM((NSLAB,), jnp.int32),           # shellact

@@ -22,11 +22,12 @@ from taichislam_tpu.ops import fusion as fusion_ops
 from taichislam_tpu.ops import tsdf as tsdf_ops
 
 
-def bin_bucket_for(n: int, headroom_num=21, headroom_den=20) -> int:
+def bin_bucket_for(n: int, headroom_num=21, headroom_den=20,
+                   lo: int = 2048) -> int:
     """Smallest {1, 1.25, 1.5}·2^k bucket ≥ n·headroom (fusion lane count
     scales with the bucket, so granularity matters)."""
     want = max(n * headroom_num // headroom_den, 1)
-    b = 2048
+    b = lo
     while True:
         for num in (4, 5, 6):
             if want <= b * num // 4:
@@ -703,13 +704,16 @@ class DenseTSDF(BaseMap):
             self.resolve_deferred_fuse()
         t = time.time()
         if sub_bcap is not None:
-            need = int(sub_bcap)
+            # caller-predicted bound is already a bucket (SubmapMapping
+            # uses {1,1.25,1.5}·2^k granularity — the splat lane count is
+            # bcap × V³ × 7, so re-pow2ing it here wasted up to 33%)
+            bcap = min(int(sub_bcap), submaps.cfg.max_blocks)
         else:
             need = int(submaps.state.num_blocks) + 1
-        bcap = 64
-        while bcap < need:
-            bcap *= 2
-        bcap = min(bcap, submaps.cfg.max_blocks)
+            bcap = 64
+            while bcap < need:
+                bcap *= 2
+            bcap = min(bcap, submaps.cfg.max_blocks)
         touched_cap = getattr(self, "_fuse_touched_bucket",
                               self.cfg.max_touched_blocks)
         state0 = self.state

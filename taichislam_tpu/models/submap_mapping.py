@@ -374,16 +374,16 @@ class SubmapMapping:
             self.post_local_to_global_callback(gm)
 
     def _predict_caps(self, blocks, vox):
-        """Gather capacities with 25% headroom over an observed (block,
-        voxel) count. The voxel-lane bucket uses {1, 1.25, 1.5}·2^k
-        granularity (dense_tsdf.bin_bucket_for): the fetched wire bytes
-        scale with the bucket, so a pow2 bucket's up-to-2x overshoot is
-        real relay milliseconds."""
+        """Gather capacities with headroom over an observed (block, voxel)
+        count, both on {1, 1.25, 1.5}·2^k buckets: the fetched wire bytes
+        scale with the voxel-lane bucket (pow2's up-to-2x overshoot is
+        real relay milliseconds), and the incremental-fuse splat lane
+        count scales with the BLOCK bucket (block_cap × V³ × 7 lanes at
+        ~10 ns/lane — a pow2 block bucket's overshoot is real fuse
+        milliseconds at every keyframe boundary)."""
         from taichislam_tpu.models.dense_tsdf import bin_bucket_for
-        from taichislam_tpu.ops import exports as exports_ops
         col = self.submap_collection
-        blk = min(exports_ops.pow2_capacity(blocks * 5 // 4 + 1, lo=64),
-                  col.cfg.max_blocks)
+        blk = min(bin_bucket_for(blocks + 1, 9, 8, lo=64), col.cfg.max_blocks)
         lane = min(max(bin_bucket_for(vox + 1, 5, 4), 8192),
                    col.cfg.max_blocks * col.cfg.grid.voxels_per_block)
         return lane, blk

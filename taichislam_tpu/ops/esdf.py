@@ -143,6 +143,42 @@ def neighbor_slot_table(spec, state, active_submap, rows=None):
     return cols.transpose(1, 0).reshape(-1, 3, 3, 3)
 
 
+def _part1by2(x):
+    """Spread the low 10 bits of x to every third bit (Morton helper)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & jnp.int32(0x030000FF)
+    x = (x | (x << 8)) & jnp.int32(0x0300F00F)
+    x = (x | (x << 4)) & jnp.int32(0x030C30C3)
+    x = (x | (x << 2)) & jnp.int32(0x09249249)
+    return x
+
+
+def morton_order_rows(slot_of, bvalid, n_upd, block_coords):
+    """Permute the compact working-set row list into Morton (Z-curve)
+    order within each group (updatable prefix / frozen rim / garbage).
+
+    The sweep kernels gate compute and halo-shell refresh at SLAB
+    granularity (8 consecutive compact rows). Hash-slot allocation order
+    is spatially random, so a spatially-tight wavefront smears across
+    ~2x the slabs it occupies; Z-curve order packs spatial neighbors
+    into the same slab and the gates fire on proportionally fewer rows.
+    The permutation is EXACT: rows are gathered and scattered through
+    ``slot_of``, the Jacobi sweep is order-independent across rows, and
+    gate skips only ever drop provably-unchanged recomputes — field
+    values AND sweep counts are bit-identical to any other order.
+    Deterministic: stable sort on (group, morton, slot)."""
+    cap = slot_of.shape[0]
+    c = jnp.take(block_coords, slot_of, axis=0)
+    key = (_part1by2(c[:, 1]) | (_part1by2(c[:, 2]) << 1)
+           | (_part1by2(c[:, 3]) << 2))
+    cpos = jnp.arange(cap, dtype=jnp.int32)
+    grp = jnp.where(cpos < n_upd, 0, 1)
+    grp = jnp.where(bvalid, grp, 2)
+    key = jnp.where(bvalid, key, 0)
+    _, _, out = jax.lax.sort((grp, key, slot_of), num_keys=2)
+    return out
+
+
 def assemble_halo(tiles, nslots, V, fill, center=None):
     """Build (n, V+2, V+2, V+2) halos for ``n = nslots.shape[0]`` blocks.
 
@@ -683,6 +719,13 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
                 (jnp.sum(slot_of) + jnp.sum(bvalid)).astype(jnp.float32)
                 * 1e-30), prev_fixed.astype(jnp.int8), participate_full,
                 jnp.int32(0), jnp.zeros((nb,), bool), overflow_in)
+
+    # spatial (Z-curve) row order within each group: the sweep kernels'
+    # slab-granular activity gates fire on whole 8-row slabs, so packing
+    # spatial neighbors into the same slab is pure gate efficiency (see
+    # morton_order_rows — exact, deterministic)
+    slot_of = morton_order_rows(slot_of, bvalid, n_upd,
+                                state.block_coords)
 
     # global slot -> compact index (garbage rows -> block_cap)
     inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(

@@ -64,6 +64,7 @@ from taichislam_tpu.ops.esdf import (
     _scan_candidates_fused,
     _shell_mask_np,
     _to_sweep_layout,
+    morton_order_rows,
     neighbor_slot_cols,
 )
 from taichislam_tpu.parallel.block_sharded import _state_spec
@@ -180,6 +181,12 @@ def sharded_esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int,
             bvalid = jnp.arange(block_cap) < keptS
             overflow_in = jnp.maximum(
                 jnp.maximum(totalD, totalD + totalR) - block_cap, 0)
+
+        # identical spatial row order to ops/esdf.py esdf_update (exact;
+        # keeps the single-device equivalence bit-for-bit, row for row)
+        n_upd = bkept if not incremental else keptD
+        slot_of = morton_order_rows(slot_of, bvalid, n_upd,
+                                    state.block_coords)
 
         inv = jnp.full((nb,), block_cap, jnp.int32).at[slot_of].set(
             jnp.where(bvalid, jnp.arange(block_cap, dtype=jnp.int32),

@@ -552,8 +552,11 @@ def esdf_seed_dirty(cfg: TSDFConfig, state, seen_tsdf, seen_obs, touched,
         jnp.arange(nb, dtype=jnp.int32), mode="drop")
     valid = jnp.arange(touched_cap) < kept
 
-    tsdf_r = jnp.take(state.channels["TSDF"].astype(jnp.float32), rows,
-                      axis=0)
+    # gather rows FIRST, convert after: .astype on the full f16 channel
+    # materializes a (nb, V^3) f32 temp (~33 MB at 2048 blocks) just to
+    # read ~150 rows of it
+    tsdf_r = jnp.take(state.channels["TSDF"], rows, axis=0).astype(
+        jnp.float32)
     obs_r = jnp.take(state.channels["TSDF_observed"] > 0, rows, axis=0)
     seen_t_r = jnp.take(seen_tsdf, rows, axis=0)
     seen_o_r = jnp.take(seen_obs, rows, axis=0)
@@ -631,8 +634,10 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
     v2 = jnp.float32(np.sqrt(2.0) * cfg.voxel_scale)
     v3 = jnp.float32(np.sqrt(3.0) * cfg.voxel_scale)
 
+    # raw (possibly f16) — converted AFTER the compact row gather (gcomp);
+    # a full-array .astype would materialize a (nb, V^3) f32 temp per call
     tsdf_full = (state.channels["TSDF"] if tsdf_src is None
-                 else tsdf_src).astype(jnp.float32)
+                 else tsdf_src)
     obs_full = (state.channels["TSDF_observed"] > 0 if obs_src is None
                 else obs_src)
     blk = state.block_active & (state.block_coords[:, 0] == active_submap)
@@ -738,7 +743,7 @@ def esdf_update(cfg: TSDFConfig, max_sweeps: int, block_cap: int, state,
         pad = jnp.full((NROWS - block_cap,) + out.shape[1:], fill, out.dtype)
         return jnp.concatenate([out, pad], axis=0)   # (NROWS, V^3)
 
-    tsdf = gcomp(tsdf_full, 0.0)
+    tsdf = gcomp(tsdf_full, 0.0).astype(jnp.float32)
     participate = gcomp(participate_full, False)
     prev_e = gcomp(prev_esdf, 0.0)
     prev_f = gcomp(prev_fixed, 0)
@@ -1250,10 +1255,10 @@ def esdf_update_dense(cfg: TSDFConfig, max_sweeps: int, dims_blocks, state,
                         jnp.minimum(dlin, NBD), axis=0)
 
     tsdf_full_src = (state.channels["TSDF"] if tsdf_src is None
-                     else tsdf_src).astype(jnp.float32)
+                     else tsdf_src)
     obs_full_src = (state.channels["TSDF_observed"] > 0 if obs_src is None
                     else obs_src)
-    tsdf = to_dense(tsdf_full_src, 0.0)
+    tsdf = to_dense(tsdf_full_src, 0.0).astype(jnp.float32)
     obs = to_dense(obs_full_src & in_win[:, None], False)
     prev_e = to_dense(prev_esdf, 0.0)
     prev_f = to_dense(prev_fixed, jnp.int8(0))

@@ -231,7 +231,8 @@ def _sweep_math(h, enc, side_f, *, W: int, v1: float, gamma: float,
 # ---------------------------------------------------------------------------
 
 
-def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
+def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, acts0_ref, shell0_ref,
+                 esdf_any, enc_any,
                  out_any, stats_ref, fld, encb, sems, st, slabchg, acts,
                  shellact, *, W: int, R: int, NSLAB: int, v1: float,
                  gamma: float, eps: float, eps_conv: float, max_ray: float,
@@ -264,9 +265,13 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
     st[2] = 0
     st[3] = 0
     st[4] = 0
+    # sweep-0 gates from the updatable-slab set (not all-ones): rim-only
+    # slabs compute nothing on any sweep (their update mask is zero), so
+    # skipping them — and shells outside the dilation of the updatable
+    # set — on the first sweep is exact, same as on later sweeps
     for m in range(NSLAB):
-        acts[m] = 1
-        shellact[m] = 1
+        acts[m] = acts0_ref[m]
+        shellact[m] = shell0_ref[m]
         slabchg[m] = 0
     cp = pltpu.make_async_copy(esdf_any, fld, sems.at[2])
     cp.start()
@@ -325,20 +330,52 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
             fld[pl.ds(g, 1)] = cur
         return c
 
+    # enc slab copies run through TWO revolving buffers: each active slab
+    # starts the NEXT active slab's copy before computing its own, so the
+    # HBM fetch latency (the old synchronous start+wait stalled every
+    # active slab, every sweep) hides behind the current slab's VPU work.
+    # Semaphore indices must be static — the parity branches duplicate
+    # only the tiny start/wait calls, not the compute.
+    def _enc_start(m, parity0):
+        @pl.when(parity0)
+        def _():
+            pltpu.make_async_copy(enc_any.at[pl.ds(m * R, R)],
+                                  encb.at[pl.ds(0, R)], sems.at[0]).start()
+
+        @pl.when(jnp.logical_not(parity0))
+        def _():
+            pltpu.make_async_copy(enc_any.at[pl.ds(m * R, R)],
+                                  encb.at[pl.ds(R, R)], sems.at[1]).start()
+
+    def _enc_wait(m, parity0):
+        @pl.when(parity0)
+        def _():
+            pltpu.make_async_copy(enc_any.at[pl.ds(m * R, R)],
+                                  encb.at[pl.ds(0, R)], sems.at[0]).wait()
+
+        @pl.when(jnp.logical_not(parity0))
+        def _():
+            pltpu.make_async_copy(enc_any.at[pl.ds(m * R, R)],
+                                  encb.at[pl.ds(R, R)], sems.at[1]).wait()
+
     def _compute_slab(n, s):
         # per-slab activity gate (same wavefront the orchestrated path's
         # slab_act gives): a slab recomputes only while a slab holding
         # some row of its updatable rows' 26-neighborhoods changed last
         # sweep. Skipping is exact — unchanged inputs recompute to the
         # same values. adj is precomputed outside (see caller).
+        nxt = jnp.minimum(n + 1, NSLAB - 1)
+
+        @pl.when((n + 1 < NSLAB) & (acts[nxt] != 0))
+        def _():
+            _enc_start(nxt, (n + 1) % 2 == 0)
+
         @pl.when(acts[n] != 0)
         def _():
             st[3] = st[3] + 1
             g0 = n * R
-            cp = pltpu.make_async_copy(enc_any.at[pl.ds(g0, R)],
-                                       encb.at[pl.ds(0, R)], sems.at[0])
-            cp.start()
-            cp.wait()
+            boR = (n % 2) * R
+            _enc_wait(n, n % 2 == 0)
             pred = s < scan_sweeps
             if scan_period > 0:
                 pred |= s % scan_period == 0
@@ -355,7 +392,7 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
                 def f():
                     for c in range(0, R, RC):
                         h = fld[pl.ds(g0 + c, RC)]
-                        enc = encb[pl.ds(c, RC)]
+                        enc = encb[pl.ds(boR + c, RC)]
                         # interior update-side mask derived on-chip: ±1
                         # on observed, non-fixed interior voxels of
                         # updatable rows (sign = TSDF side)
@@ -408,6 +445,12 @@ def _loop_kernel(nsl_ref, upd_ref, adj_ref, adjs_ref, esdf_any, enc_any,
         jax.lax.fori_loop(0, N, _shells_i, 0)
         jax.lax.fori_loop(0, N, _shells_j, 0)
         jax.lax.fori_loop(0, N, _shells_k, 0)
+
+        # warm up the enc pipeline: slab 0's copy in flight before the loop
+        @pl.when(acts[0] != 0)
+        def _():
+            _enc_start(0, jnp.bool_(True))
+
         jax.lax.fori_loop(0, NSLAB, _compute_slab, s)
         st[2] = st[2] + 1
         st[0] = jnp.where(st[1] == 0, 1, 0)
@@ -484,9 +527,16 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
     a_all = (slab_of[:, None] ==
              jnp.arange(NSLAB, dtype=jnp.int32)[None, :]).astype(
                  jnp.float32)                                # (N, NSLAB)
-    adjS = (jnp.dot(a_all.T, nbr_oh,
-                    preferred_element_type=jnp.float32) > 0.5)
-    adjS = adjS.astype(jnp.int32).reshape(-1)                # (NSLAB²,)
+    adjS_m = (jnp.dot(a_all.T, nbr_oh,
+                      preferred_element_type=jnp.float32) > 0.5)
+    adjS = adjS_m.astype(jnp.int32).reshape(-1)              # (NSLAB²,)
+    # sweep-0 gates (see _loop_kernel): a slab with no updatable rows is
+    # a no-op compute on EVERY sweep incl. the first, so the initial act
+    # set is the updatable slabs and the initial shell set its dilation
+    acts0 = jnp.any(adj.reshape(NSLAB, NSLAB) > 0, axis=1)
+    shell0 = (jnp.dot(acts0.astype(jnp.float32),
+                      adjS_m.astype(jnp.float32),
+                      preferred_element_type=jnp.float32) > 0.5)
     # DMAs require tile-aligned slices, so the kernel works on the
     # physically-padded shape (N, Wp, Lp) — identical HBM/VMEM footprint
     # to the tiled (N, W, W²) arrays. Pad lanes/rows are neutral: enc pad
@@ -508,6 +558,8 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
@@ -516,7 +568,7 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
                    jax.ShapeDtypeStruct((4,), jnp.int32)],
         scratch_shapes=[
             pltpu.VMEM((N, Wp, Lp), jnp.float32),      # fld
-            pltpu.VMEM((R, Wp, Lp), jnp.float32),      # enc slab buffer
+            pltpu.VMEM((2 * R, Wp, Lp), jnp.float32),  # enc revolving bufs
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.SMEM((5,), jnp.int32),
             pltpu.SMEM((NSLAB,), jnp.int32),           # slabchg
@@ -525,6 +577,7 @@ def esdf_sweep_loop_pallas(esdf_h, enc_hh, nsl27, upd_rows, *, V: int,
         ],
         interpret=interpret,
     )(nsl_face.astype(jnp.int32), upd_rows.astype(jnp.int32), adj, adjS,
+      acts0.astype(jnp.int32), shell0.astype(jnp.int32),
       esdf_p, enc_p)
     return out[:, :W, :W * W], stats
 
